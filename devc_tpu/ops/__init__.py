@@ -1,0 +1,20 @@
+from devc_tpu.ops.resize import (
+    resize_bilinear,
+    upsample_nearest,
+    avg_pool,
+    max_pool,
+)
+from devc_tpu.ops.layers import (
+    conv2d,
+    conv_init,
+    instance_norm,
+    prelu,
+    reflect_pad,
+    replicate_pad,
+    leaky_relu,
+    unfold_patches,
+)
+from devc_tpu.ops.correspondence import (
+    correspondence_warp_einsum,
+    correspondence_warp,
+)

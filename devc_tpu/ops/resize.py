@@ -1,0 +1,114 @@
+"""Resize / pooling primitives with exact PyTorch semantics, NHWC layout.
+
+jax.image.resize applies an antialiasing triangle kernel when downsampling,
+which does NOT match torch.nn.functional.interpolate(..., mode="bilinear",
+align_corners=False). The reference pipeline leans on exact interpolate
+behavior (downscale x0.5 before the nets, upscale x2 after —
+reference test.py:58,71,101), so we implement the half-pixel gather
+directly. Wrong resize semantics silently cost PSNR (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _torch_bilinear_1d_weights(in_size: int, out_size: int, dtype):
+    """Source indices + lerp weights for torch bilinear, align_corners=False.
+
+    src = (dst + 0.5) * (in/out) - 0.5, clamped into [0, in-1].
+    Returns (lo_idx, hi_idx, hi_weight) each of shape [out_size].
+    """
+    scale = in_size / out_size
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = (dst + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, in_size - 1)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo.astype(jnp.float32)).astype(dtype)
+    return lo, hi, w_hi
+
+
+def resize_bilinear(x, out_hw, align_corners: bool = False):
+    """NHWC bilinear resize matching torch F.interpolate(mode='bilinear').
+
+    Implemented as two 1-D matmuls (H then W) so XLA maps it onto the MXU
+    instead of gathers; the interpolation matrices are tiny and folded at
+    trace time.
+    """
+    n, h, w, c = x.shape
+    out_h, out_w = out_hw
+    if (out_h, out_w) == (h, w):
+        return x
+    dtype = x.dtype
+
+    def interp_matrix(in_size, out_size):
+        if align_corners and out_size > 1:
+            src = jnp.arange(out_size, dtype=jnp.float32) * (
+                (in_size - 1) / (out_size - 1)
+            )
+            src = jnp.clip(src, 0.0, in_size - 1)
+            lo = jnp.floor(src).astype(jnp.int32)
+            hi = jnp.minimum(lo + 1, in_size - 1)
+            w_hi = src - lo.astype(jnp.float32)
+        else:
+            lo, hi, w_hi = _torch_bilinear_1d_weights(in_size, out_size, jnp.float32)
+            w_hi = w_hi.astype(jnp.float32)
+        m = jnp.zeros((out_size, in_size), dtype=jnp.float32)
+        rows = jnp.arange(out_size)
+        m = m.at[rows, lo].add(1.0 - w_hi)
+        m = m.at[rows, hi].add(w_hi)
+        return m
+
+    mh = interp_matrix(h, out_h)  # [out_h, h]
+    mw = interp_matrix(w, out_w)  # [out_w, w]
+    y = jnp.einsum("oh,nhwc->nowc", mh, x.astype(jnp.float32))
+    y = jnp.einsum("pw,nowc->nopc", mw, y)
+    return y.astype(dtype)
+
+
+def upsample_nearest(x, scale: int):
+    """NHWC nearest-neighbor integer upsample, matching nn.Upsample(nearest).
+
+    torch nearest picks src = floor(dst * in/out) = dst // scale for integer
+    scale, i.e. plain pixel replication.
+    """
+    n, h, w, c = x.shape
+    y = jnp.repeat(x, scale, axis=1)
+    y = jnp.repeat(y, scale, axis=2)
+    return y
+
+
+def avg_pool(x, window: int, stride: int | None = None):
+    """NHWC average pooling, matching F.avg_pool2d (no padding)."""
+    stride = stride or window
+    out = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+    return out / (window * window)
+
+
+def max_pool(x, window: int, stride: int | None = None):
+    """NHWC max pooling, matching nn.MaxPool2d (no padding, floor mode)."""
+    stride = stride or window
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = jnp.array(-jnp.inf, x.dtype)
+    else:
+        init = jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        init,
+        lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )

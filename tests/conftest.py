@@ -1,0 +1,28 @@
+"""Test configuration: force CPU with 8 virtual devices, full precision.
+
+Tests never require real TPU hardware; sharding tests use a virtual 8-device
+CPU mesh (xla_force_host_platform_device_count). Matmul precision is pinned
+to 'highest' so float32 parity checks against the torch oracle are exact to
+~1e-5 instead of bf16 noise.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
