@@ -1,0 +1,137 @@
+"""Colorize a clip of grayscale frames with one or more exemplar images.
+
+CLI mirror of the reference inference entry point (test.py:127-186):
+
+  python -m cli.colorize --clip_path sample_videos/clips/v32 \
+      --ref_path sample_videos/ref/v32 --output_path out/ \
+      --vgg_ckpt data/vgg19_conv.pth \
+      --warpnet_ckpt checkpoints/.../nonlocal_net_iter_76000.pth \
+      --colornet_ckpt checkpoints/.../colornet_iter_76000.pth
+
+Without checkpoints (none ship with the reference repo), --random_init runs
+the full pipeline with randomly initialized weights (useful for smoke/perf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_params(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.random_init:
+        from devc_tpu.models import (
+            colorvidnet_init,
+            vgg19_init,
+            warpnet_init,
+        )
+
+        k = jax.random.PRNGKey(args.seed)
+        k1, k2, k3 = jax.random.split(k, 3)
+        params = {
+            "vgg": vgg19_init(k1),
+            "warpnet": warpnet_init(k2),
+            "colorvid": colorvidnet_init(k3),
+        }
+    else:
+        from devc_tpu.utils.convert import convert_checkpoints
+
+        vgg, warp, color = convert_checkpoints(
+            args.vgg_ckpt, args.warpnet_ckpt, args.colornet_ckpt
+        )
+        params = {"vgg": vgg, "warpnet": warp, "colorvid": color}
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.bf16:
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    else:
+        params = jax.tree.map(jnp.asarray, params)
+    return params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--clip_path", type=str, required=True)
+    p.add_argument("--ref_path", type=str, required=True,
+                   help="directory of reference images, or a single image")
+    p.add_argument("--output_path", type=str, required=True)
+    p.add_argument("--image_size", type=int, nargs=2, default=[432, 768],
+                   metavar=("H", "W"))
+    p.add_argument("--frame_propagate", action="store_true",
+                   help="use the first frame as the reference")
+    p.add_argument("--no_wls", action="store_true",
+                   help="disable edge-aware post smoothing")
+    p.add_argument("--temperature", type=float, default=1e-10)
+    p.add_argument("--vgg_ckpt", type=str, default="data/vgg19_conv.pth")
+    p.add_argument("--warpnet_ckpt", type=str,
+                   default="checkpoints/video_moredata_l1/nonlocal_net_iter_76000.pth")
+    p.add_argument("--colornet_ckpt", type=str,
+                   default="checkpoints/video_moredata_l1/colornet_iter_76000.pth")
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true",
+                   help="run weights/activations in bfloat16")
+    p.add_argument("--no_pallas", action="store_true",
+                   help="force the einsum correspondence path")
+    p.add_argument("--no_video", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="force a JAX backend (this image pins 'axon')")
+    args = p.parse_args(argv)
+
+    h, w = args.image_size
+    if h % 32 or w % 32:
+        p.error(
+            f"--image_size {h} {w}: both sides must be multiples of 32 "
+            "(the network halves the input and builds a 4-level feature "
+            "pyramid; the reference default is 432 768)"
+        )
+    if not os.path.isdir(args.clip_path):
+        p.error(f"--clip_path {args.clip_path}: not a directory")
+    if not os.path.exists(args.ref_path):
+        p.error(f"--ref_path {args.ref_path}: does not exist")
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from devc_tpu.pipeline.video import colorize_video
+
+    params = build_params(args)
+    clip_name = os.path.basename(os.path.normpath(args.clip_path))
+
+    if os.path.isdir(args.ref_path):
+        refs = sorted(os.listdir(args.ref_path))
+        refs = [os.path.join(args.ref_path, r) for r in refs]
+    else:
+        refs = [args.ref_path]
+
+    for ref in refs:
+        ref_id = os.path.splitext(os.path.basename(ref))[0]
+        out_dir = os.path.join(args.output_path, f"{clip_name}_{ref_id}")
+        print(f"colorizing {args.clip_path} with exemplar {ref} -> {out_dir}")
+        t0 = time.time()
+        written = colorize_video(
+            params,
+            args.clip_path,
+            ref,
+            out_dir,
+            image_size=tuple(args.image_size),
+            temperature=args.temperature,
+            wls=not args.no_wls,
+            frame_propagate=args.frame_propagate,
+            use_pallas=False if args.no_pallas else None,
+            write_video=not args.no_video,
+        )
+        dt = time.time() - t0
+        n = len(written)
+        print(f"  {n} frames in {dt:.1f}s ({n / dt:.2f} fps incl. compile)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""ColorVidNet — the recurrent colorization generator.
+
+Functional re-design of the reference ColorVidNet (models/ColorVidNet.py:
+6-144): a U-Net-style CNN over a 7-channel input
+[L(1), warped_ab(2), similarity(1), prev_frame_lab(3)] producing the ab
+channels. Ten conv stages; downsampling is a learned per-channel 1x1
+stride-2 conv applied to the InstanceNorm'd activation ("*norm_ss"),
+stages 5-6 use dilation-2 convs, upsampling is nearest x2 + conv with
+additive skip connections from the norm'd encoder activations, output is
+tanh(.) * 128. All norms are InstanceNorm (affine=False).
+
+NHWC activations / HWIO weights; params are a flat dict keyed by the
+reference layer names so checkpoint conversion is mechanical.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from devc_tpu.ops.layers import conv2d, conv_init, instance_norm, leaky_relu
+from devc_tpu.ops.resize import upsample_nearest
+
+# name -> (in, out, ksize, groups, bias, dilation)
+_CONVS = {
+    "conv1_1a": (7, 32, 3, 1, True, 1),  # reference conv1_1.0
+    "conv1_1b": (32, 64, 3, 1, True, 1),  # reference conv1_1.2
+    "conv1_2": (64, 64, 3, 1, True, 1),
+    "conv1_2norm_ss": (64, 64, 1, 64, False, 1),
+    "conv2_1": (64, 128, 3, 1, True, 1),
+    "conv2_2": (128, 128, 3, 1, True, 1),
+    "conv2_2norm_ss": (128, 128, 1, 128, False, 1),
+    "conv3_1": (128, 256, 3, 1, True, 1),
+    "conv3_2": (256, 256, 3, 1, True, 1),
+    "conv3_3": (256, 256, 3, 1, True, 1),
+    "conv3_3norm_ss": (256, 256, 1, 256, False, 1),
+    "conv4_1": (256, 512, 3, 1, True, 1),
+    "conv4_2": (512, 512, 3, 1, True, 1),
+    "conv4_3": (512, 512, 3, 1, True, 1),
+    "conv5_1": (512, 512, 3, 1, True, 2),
+    "conv5_2": (512, 512, 3, 1, True, 2),
+    "conv5_3": (512, 512, 3, 1, True, 2),
+    "conv6_1": (512, 512, 3, 1, True, 2),
+    "conv6_2": (512, 512, 3, 1, True, 2),
+    "conv6_3": (512, 512, 3, 1, True, 2),
+    "conv7_1": (512, 512, 3, 1, True, 1),
+    "conv7_2": (512, 512, 3, 1, True, 1),
+    "conv7_3": (512, 512, 3, 1, True, 1),
+    "conv8_1": (512, 256, 3, 1, True, 1),  # after nearest x2
+    "conv3_3_short": (256, 256, 3, 1, True, 1),
+    "conv8_2": (256, 256, 3, 1, True, 1),
+    "conv8_3": (256, 256, 3, 1, True, 1),
+    "conv9_1": (256, 128, 3, 1, True, 1),  # after nearest x2
+    "conv2_2_short": (128, 128, 3, 1, True, 1),
+    "conv9_2": (128, 128, 3, 1, True, 1),
+    "conv10_1": (128, 128, 3, 1, True, 1),  # after nearest x2
+    "conv1_2_short": (64, 128, 3, 1, True, 1),
+    "conv10_2": (128, 128, 3, 1, True, 1),
+    "conv10_ab": (128, 2, 1, 1, True, 1),
+}
+
+
+def colorvidnet_init(key, in_ch: int = 7, dtype=jnp.float32):
+    params = {}
+    keys = jax.random.split(key, len(_CONVS))
+    for k, (name, (ci, co, ks, g, b, _d)) in zip(keys, _CONVS.items()):
+        if name == "conv1_1a":
+            ci = in_ch
+        params[name] = conv_init(k, ci, co, ks, groups=g, bias=b, dtype=dtype)
+    return params
+
+
+def _c(params, name, x, relu=True):
+    ci, co, ks, g, b, d = _CONVS[name]
+    pad = d if ks == 3 else 0
+    y = conv2d(params[name], x, padding=pad, dilation=d, groups=g)
+    return jax.nn.relu(y) if relu else y
+
+
+def _down(params, name, x):
+    """Learned per-channel 1x1 stride-2 downsample (the *_ss convs)."""
+    ci, co, ks, g, b, d = _CONVS[name]
+    return conv2d(params[name], x, stride=2, groups=g)
+
+
+def colorvidnet_apply(params, x):
+    """x: [B, H, W, 7] -> ab: [B, H, W, 2] in [-128, 128]."""
+    c1 = jax.nn.relu(_c(params, "conv1_1b", _c(params, "conv1_1a", x)))
+    c1 = jax.nn.relu(_c(params, "conv1_2", c1, relu=False))
+    n1 = instance_norm(c1)
+    x2 = _down(params, "conv1_2norm_ss", n1)
+
+    c2 = _c(params, "conv2_1", x2)
+    c2 = jax.nn.relu(_c(params, "conv2_2", c2, relu=False))
+    n2 = instance_norm(c2)
+    x3 = _down(params, "conv2_2norm_ss", n2)
+
+    c3 = _c(params, "conv3_1", x3)
+    c3 = _c(params, "conv3_2", c3)
+    c3 = _c(params, "conv3_3", c3)
+    n3 = instance_norm(c3)
+    x4 = _down(params, "conv3_3norm_ss", n3)
+
+    c4 = _c(params, "conv4_1", x4)
+    c4 = _c(params, "conv4_2", c4)
+    c4 = _c(params, "conv4_3", c4)
+    h = instance_norm(c4)
+
+    for stage in ("conv5", "conv6"):
+        h = _c(params, f"{stage}_1", h)
+        h = _c(params, f"{stage}_2", h)
+        h = _c(params, f"{stage}_3", h)
+        h = instance_norm(h)
+
+    h = _c(params, "conv7_1", h)
+    h = _c(params, "conv7_2", h)
+    h = _c(params, "conv7_3", h)
+    h = instance_norm(h)
+
+    # decoder with additive skips (reference :127-141)
+    u8 = _c(params, "conv8_1", upsample_nearest(h, 2), relu=False)
+    s8 = _c(params, "conv3_3_short", n3, relu=False)
+    h = jax.nn.relu(u8 + s8)
+    h = _c(params, "conv8_2", h)
+    h = _c(params, "conv8_3", h)
+    h = instance_norm(h)
+
+    u9 = _c(params, "conv9_1", upsample_nearest(h, 2), relu=False)
+    s9 = _c(params, "conv2_2_short", n2, relu=False)
+    h = jax.nn.relu(u9 + s9)
+    h = _c(params, "conv9_2", h)
+    h = instance_norm(h)
+
+    u10 = _c(params, "conv10_1", upsample_nearest(h, 2), relu=False)
+    s10 = _c(params, "conv1_2_short", n1, relu=False)
+    h = jax.nn.relu(u10 + s10)
+    h = leaky_relu(_c(params, "conv10_2", h, relu=False), 0.2)
+
+    ab = _c(params, "conv10_ab", h, relu=False)
+    return jnp.tanh(ab) * 128.0

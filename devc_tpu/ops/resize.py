@@ -86,9 +86,11 @@ def upsample_nearest(x, scale: int):
 def avg_pool(x, window: int, stride: int | None = None):
     """NHWC average pooling, matching F.avg_pool2d (no padding)."""
     stride = stride or window
+    # Python-scalar init so lax recognizes the add monoid (autodiff-able
+    # reduce_window_sum instead of the generic primitive)
     out = lax.reduce_window(
         x,
-        jnp.zeros((), x.dtype),
+        0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0,
         lax.add,
         (1, window, window, 1),
         (1, stride, stride, 1),
@@ -100,10 +102,12 @@ def avg_pool(x, window: int, stride: int | None = None):
 def max_pool(x, window: int, stride: int | None = None):
     """NHWC max pooling, matching nn.MaxPool2d (no padding, floor mode)."""
     stride = stride or window
+    # init must be a Python scalar so lax recognizes the max monoid and
+    # emits reduce_window_max (which has a transpose rule for autodiff)
     if jnp.issubdtype(x.dtype, jnp.floating):
-        init = jnp.array(-jnp.inf, x.dtype)
+        init = -float("inf")
     else:
-        init = jnp.iinfo(x.dtype).min
+        init = int(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
         init,

@@ -1,0 +1,6 @@
+from devc_tpu.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,216 @@
+"""Host-side video driver: decode -> device colorize -> encode.
+
+Mirrors the reference inference driver (test.py:29-125) with a TPU-first
+dataflow: the host only decodes JPEGs and does the aspect resize/crop on
+uint8; one jitted device program per frame does Lab conversion, the x0.5
+downscale, colorization, ab upsample x2 with the 1.25 chroma boost, the
+edge-aware smoothing (device-side fast global smoother instead of host
+cv2.ximgproc WLS), and Lab->RGB back to uint8. Exactly one small uint8
+transfer each way per frame; a decode thread prefetches ahead and a writer
+thread overlaps JPEG encode with device compute.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from devc_tpu import colorspace as cs
+from devc_tpu.data.transforms import load_frame_rgb, sort_frames_numerically
+from devc_tpu.ops.fgs import fast_global_smoother
+from devc_tpu.ops.resize import resize_bilinear
+from devc_tpu.pipeline.frame import extract_reference_features, frame_colorization
+
+
+def _preprocess_device(rgb_u8):
+    """uint8 RGB [H,W,3] -> (lab_large [1,H,W,3], lab_small [1,H/2,W/2,3])."""
+    rgb = rgb_u8.astype(jnp.float32) / 255.0
+    lab_large = cs.center_lab(cs.rgb_to_lab(rgb))[None]
+    h, w = rgb_u8.shape[0], rgb_u8.shape[1]
+    lab_small = resize_bilinear(lab_large, (h // 2, w // 2))
+    return lab_large, lab_small
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "wls", "lambda_value", "sigma_color", "use_pallas"),
+)
+def _device_frame_step(
+    params,
+    rgb_u8,
+    last_lab,
+    ref_lab_small,
+    features_b,
+    temperature: float = 1e-10,
+    wls: bool = True,
+    lambda_value: float = 500.0,
+    sigma_color: float = 4.0,
+    use_pallas: bool | None = None,
+):
+    """One frame, fully on device. Returns (rgb_out_u8, new_last_lab)."""
+    lab_large, lab_small = _preprocess_device(rgb_u8)
+
+    pred_ab, _warped, _sim, _ = frame_colorization(
+        params,
+        lab_small,
+        ref_lab_small,
+        last_lab,
+        features_b,
+        temperature=temperature,
+        joint_training=False,
+        use_pallas=use_pallas,
+    )
+    new_last = jnp.concatenate([lab_small[..., 0:1], pred_ab], axis=-1)
+
+    # upsample x2 + 1.25 chroma boost (reference test.py:100-102)
+    h, w = rgb_u8.shape[0], rgb_u8.shape[1]
+    ab_up = resize_bilinear(pred_ab, (h, w)) * 1.25
+
+    l_large = lab_large[..., 0:1]
+    if wls:
+        guide = cs.uncenter_l(l_large[0, ..., 0]) * 255.0 / 100.0
+        ab_up = fast_global_smoother(
+            ab_up[0], guide, lam=lambda_value, sigma_color=sigma_color
+        )[None]
+
+    out_lab = jnp.concatenate([l_large, ab_up], axis=-1)
+    rgb_out = cs.lab_centered_to_rgb(out_lab)[0]
+    rgb_u8_out = jnp.clip(jnp.round(rgb_out * 255.0), 0, 255).astype(jnp.uint8)
+    return rgb_u8_out, new_last
+
+
+@jax.jit
+def _device_ref_features(params, ref_rgb_u8):
+    """Exemplar prep, once per clip (reference test.py:57-66)."""
+    _, ref_lab_small = _preprocess_device(ref_rgb_u8)
+    features_b = extract_reference_features(params["vgg"], ref_lab_small)
+    return ref_lab_small, features_b
+
+
+def list_clip_frames(clip_dir: str):
+    names = [
+        f
+        for f in os.listdir(clip_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+    ]
+    return sort_frames_numerically(names)
+
+
+def folder_to_video(image_folder: str, output_path: str, fps: int = 24):
+    """Assemble saved frames into a video (reference utils/util.py:255-268)."""
+    import cv2
+
+    images = sorted(
+        f for f in os.listdir(image_folder) if f.endswith((".jpg", ".png"))
+    )
+    if not images:
+        return
+    first = cv2.imread(os.path.join(image_folder, images[0]))
+    h, w = first.shape[:2]
+    writer = cv2.VideoWriter(
+        output_path, cv2.VideoWriter_fourcc(*"DIVX"), fps, (w, h)
+    )
+    for name in images:
+        writer.write(cv2.imread(os.path.join(image_folder, name)))
+    writer.release()
+
+
+def colorize_video(
+    params,
+    clip_dir: str,
+    ref_path: str,
+    output_dir: str,
+    image_size=(432, 768),
+    temperature: float = 1e-10,
+    wls: bool = True,
+    lambda_value: float = 500.0,
+    sigma_color: float = 4.0,
+    frame_propagate: bool = False,
+    use_pallas: bool | None = None,
+    write_video: bool = True,
+    prefetch: int = 4,
+):
+    """Colorize every frame of clip_dir with the exemplar at ref_path.
+
+    Mirrors the reference CLI behavior (test.py:29-125): frames are
+    processed in numeric order at image_size (network runs at half that),
+    recurrent conditioning on the previous prediction, JPEG frames written
+    as 00000.jpg... plus an optional video.avi.
+
+    Returns the list of written frame paths.
+    """
+    os.makedirs(output_dir, exist_ok=True)
+    names = list_clip_frames(clip_dir)
+    if not names:
+        raise ValueError(f"no frames found in {clip_dir}")
+
+    ref_file = os.path.join(clip_dir, names[0]) if frame_propagate else ref_path
+    ref_rgb = load_frame_rgb(ref_file, image_size)
+    ref_lab_small, features_b = _device_ref_features(params, jnp.array(ref_rgb))
+
+    h2, w2 = image_size[0] // 2, image_size[1] // 2
+    if frame_propagate:
+        last_lab = ref_lab_small
+    else:
+        last_lab = jnp.zeros((1, h2, w2, 3), jnp.float32)
+
+    # decode-ahead thread
+    frame_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def reader():
+        for name in names:
+            frame_q.put(load_frame_rgb(os.path.join(clip_dir, name), image_size))
+        frame_q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    # encode-behind thread
+    write_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    written = []
+
+    def writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            idx, arr = item
+            path = os.path.join(output_dir, f"{idx:05d}.jpg")
+            Image.fromarray(arr).save(path, quality=95)
+            written.append(path)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+
+    idx = 0
+    while True:
+        rgb = frame_q.get()
+        if rgb is None:
+            break
+        rgb_out, last_lab = _device_frame_step(
+            params,
+            jnp.array(rgb),
+            last_lab,
+            ref_lab_small,
+            features_b,
+            temperature=temperature,
+            wls=wls,
+            lambda_value=lambda_value,
+            sigma_color=sigma_color,
+            use_pallas=use_pallas,
+        )
+        write_q.put((idx, np.asarray(rgb_out)))
+        idx += 1
+
+    write_q.put(None)
+    wt.join()
+
+    if write_video:
+        folder_to_video(output_dir, os.path.join(output_dir, "video.avi"))
+    return sorted(written)

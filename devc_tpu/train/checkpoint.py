@@ -1,0 +1,75 @@
+"""Checkpoint / resume via orbax (reference train.py:174-226, 322-333).
+
+The reference snapshots per-net state_dicts for deployment plus a
+monolithic learning_checkpoint.pth (iter, epoch, nets, optimizers,
+schedulers). Here the whole TrainState is one pytree, saved atomically by
+orbax with retention; schedules are pure functions of `step` so they need
+no extra state. Deployment params are the params_g subtree of any step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from devc_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 save_interval_steps: int = 2000):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, state: TrainState, force: bool = False) -> bool:
+        saved = self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(state._asdict()),
+            force=force,
+        )
+        return bool(saved)
+
+    def restore(self, state_like: TrainState, step: int | None = None) -> TrainState:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint to restore")
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_like._asdict())
+        )
+        return TrainState(**restored)
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_params(path: str, params: Any) -> None:
+    """One-shot param snapshot (deployment artifact)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, params_like: Any = None) -> Any:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if params_like is not None:
+        return ckptr.restore(path, params_like)
+    return ckptr.restore(path)

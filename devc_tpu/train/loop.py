@@ -1,0 +1,277 @@
+"""The jitted training step + host loop (reference train.py:535-736).
+
+One step:
+  1. exemplar VGG features (frozen extractor)
+  2. two-frame unroll: colorize frame1 with the placeholder as the previous
+     prediction, then frame2 conditioned on frame1's prediction
+     (reference video_colorization, train.py:400-428)
+  3. critic update (RaLSGAN on [current Lab, last Lab] 6-channel pairs,
+     real batch rolled by one to decorrelate, reference :578-601)
+  4. generator update: weighted L1 + GAN + perceptual + contextual +
+     smoothness + temporal-consistency (reference :603-730)
+
+The whole step is one XLA program; under a mesh the batch axis is sharded
+over "data" and XLA inserts the gradient psums (the reference's
+DataParallel scatter/gather, done properly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from devc_tpu import colorspace as cs
+from devc_tpu.models.discriminator import discriminator_apply
+from devc_tpu.models.vgg19 import vgg19_extract
+from devc_tpu.pipeline.frame import FEATURE_TAPS, frame_colorization
+from devc_tpu.train import losses as L
+from devc_tpu.train.state import TrainState
+
+
+class TrainConfig(NamedTuple):
+    weight_l1: float = 2.0
+    weight_gan: float = 0.2
+    weight_perceptual: float = 0.001
+    weight_contextual: float = 0.2
+    weight_smoothness: float = 5.0
+    weight_nonlocal_smoothness: float = 0.0
+    weight_consistent: float = 0.02
+    weight_nonlocal_consistent: float = 0.0
+    luminance_noise: float = 2.0
+    temperature: float = 0.01
+    permute_data: bool = True
+    domain_invariant: bool = False
+    contextual_direction: str = "forward"
+    use_pallas: bool = False
+
+
+def _vgg_feats(vgg_params, lab):
+    rgb = cs.lab_centered_to_rgb(lab)
+    return tuple(
+        jax.lax.stop_gradient(f)
+        for f in vgg19_extract(vgg_params, rgb, FEATURE_TAPS)
+    )
+
+
+def _two_frame_unroll(params, batch, features_b, key, cfg: TrainConfig):
+    """reference train.py:400-428."""
+    k1, k2 = jax.random.split(key)
+    last_ab, last_nonlocal, _, _ = frame_colorization(
+        params,
+        batch["last_lab"],
+        batch["ref_lab"],
+        batch["placeholder_lab"],
+        features_b,
+        temperature=cfg.temperature,
+        luminance_noise=cfg.luminance_noise,
+        noise_key=k1,
+        joint_training=True,
+        use_pallas=cfg.use_pallas or None if cfg.use_pallas else False,
+    )
+    last_lab_pred = jnp.concatenate(
+        [batch["last_lab"][..., 0:1], last_ab], axis=-1
+    )
+    cur_ab, cur_nonlocal, _, _ = frame_colorization(
+        params,
+        batch["current_lab"],
+        batch["ref_lab"],
+        last_lab_pred,
+        features_b,
+        temperature=cfg.temperature,
+        luminance_noise=cfg.luminance_noise,
+        noise_key=k2,
+        joint_training=True,
+        use_pallas=cfg.use_pallas or None if cfg.use_pallas else False,
+    )
+    return cur_ab, last_ab, cur_nonlocal, last_nonlocal
+
+
+def _gan_pairs(batch, cur_ab, last_ab, permute: bool):
+    """6-channel (current, last) Lab pairs with uncentered L
+    (reference train.py:582-589)."""
+    cur_l = cs.uncenter_l(batch["current_lab"][..., 0:1])
+    last_l = cs.uncenter_l(batch["last_lab"][..., 0:1])
+    fake = jnp.concatenate([cur_l, cur_ab, last_l, last_ab], axis=-1)
+    real = jnp.concatenate(
+        [cur_l, batch["current_lab"][..., 1:3], last_l, batch["last_lab"][..., 1:3]],
+        axis=-1,
+    )
+    if permute:
+        real = jnp.roll(real, shift=1, axis=0)
+    return fake, real
+
+
+def train_step(
+    state: TrainState,
+    batch,
+    key,
+    tx_g,
+    tx_d,
+    vgg_params,
+    cfg: TrainConfig = TrainConfig(),
+):
+    """One optimization step. batch is a dict of NHWC arrays:
+    last_lab, current_lab, ref_lab [B,H,W,3]; flow_forward [B,H,W,2];
+    mask [B,H,W,1]; placeholder_lab [B,H,W,3]; self_ref_flag [B,1].
+    Returns (new_state, metrics dict).
+    """
+    params_full = lambda pg: {"vgg": vgg_params, **pg}
+
+    features_b = _vgg_feats(vgg_params, batch["ref_lab"])
+
+    key, k_unroll = jax.random.split(key)
+    cur_ab, last_ab, cur_nl, last_nl = _two_frame_unroll(
+        params_full(state.params_g), batch, features_b, k_unroll, cfg
+    )
+    fake, real = _gan_pairs(batch, cur_ab, last_ab, cfg.permute_data)
+
+    # ---- critic update (fake detached, reference :591-601) ----
+    def d_loss_fn(params_d, sn):
+        fl, _, sn1 = discriminator_apply(params_d, sn, jax.lax.stop_gradient(fake))
+        rl, _, sn2 = discriminator_apply(params_d, sn1, real)
+        return L.ralsgan_d_loss(rl, fl), sn2
+
+    if cfg.weight_gan > 0:
+        (d_loss, sn_after), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.params_d, state.sn_state
+        )
+        d_updates, opt_state_d = tx_d.update(d_grads, state.opt_state_d,
+                                             state.params_d)
+        params_d = jax.tree.map(lambda p, u: p + u, state.params_d, d_updates)
+    else:
+        d_loss = jnp.zeros(())
+        sn_after = state.sn_state
+        opt_state_d = state.opt_state_d
+        params_d = state.params_d
+
+    # ---- generator update ----
+    def g_loss_fn(params_g, sn):
+        params = params_full(params_g)
+        cur_ab, last_ab, cur_nl, last_nl = _two_frame_unroll(
+            params, batch, features_b, k_unroll, cfg
+        )
+        cur_lab_pred = jnp.concatenate(
+            [batch["current_lab"][..., 0:1], cur_ab], axis=-1
+        )
+
+        pred_feats = _grad_vgg_feats(vgg_params, cur_lab_pred)
+        gt_feats = _vgg_feats(vgg_params, batch["current_lab"])
+
+        metrics = {}
+        total = jnp.zeros(())
+
+        # weighted L1 (self-reference samples only, reference :621-623)
+        flag = batch["self_ref_flag"]  # [B, 1], 1.0 = self-reference
+        w = flag[:, :, None, None] / (jnp.sum(flag[:, 0]) + 1e-5)
+        l1_loss = L.weighted_l1(cur_ab, batch["current_lab"][..., 1:3], w)
+        l1_loss = l1_loss * cfg.weight_l1
+        total += l1_loss
+        metrics["l1_loss"] = l1_loss
+
+        # GAN generator term against the *updated* critic (reference order)
+        if cfg.weight_gan > 0:
+            fake2, real2 = _gan_pairs(batch, cur_ab, last_ab, cfg.permute_data)
+            fl, _, sn1 = discriminator_apply(params_d, sn, fake2)
+            rl, _, _sn2 = discriminator_apply(params_d, sn1, real2)
+            g_gan = L.ralsgan_g_loss(rl, fl) * cfg.weight_gan
+        else:
+            g_gan = jnp.zeros(())
+        total += g_gan
+        metrics["generator_loss"] = g_gan
+
+        # perceptual on the deepest tap (reference :638-647)
+        feat = L.perceptual_loss(pred_feats[4], gt_feats[4], cfg.domain_invariant)
+        feat = feat * cfg.weight_perceptual * (1e5 * 0.2 if cfg.domain_invariant else 1.0)
+        total += feat
+        metrics["feat_loss"] = feat
+
+        # contextual vs exemplar features (reference :649-668)
+        ctx = L.contextual_loss_multiscale(
+            (pred_feats[2], pred_feats[3], pred_feats[4]),
+            (features_b[2], features_b[3], features_b[4]),
+            direction=cfg.contextual_direction,
+        ) * cfg.weight_contextual
+        total += ctx
+        metrics["contextual_loss_total"] = ctx
+
+        # smoothness (reference :670-680)
+        smooth = (
+            L.smoothness_loss(batch["current_lab"], cur_ab, alpha=10.0)
+            * cfg.weight_smoothness
+        )
+        total += smooth
+        metrics["smoothness_loss"] = smooth
+
+        if cfg.weight_nonlocal_smoothness > 0:
+            nl_smooth = (
+                L.nonlocal_smoothness_loss(cur_lab_pred, pred_feats[1])
+                * cfg.weight_nonlocal_smoothness
+            )
+        else:
+            nl_smooth = jnp.zeros(())
+        total += nl_smooth
+        metrics["nonlocal_smoothness_loss"] = nl_smooth
+
+        # temporal consistency (reference :702-707)
+        if cfg.weight_consistent > 0:
+            cons = (
+                L.consistency_loss(
+                    cur_lab_pred, last_ab, batch["flow_forward"], batch["mask"]
+                )
+                * cfg.weight_consistent
+            )
+        else:
+            cons = jnp.zeros(())
+        total += cons
+        metrics["consistent_loss"] = cons
+
+        if cfg.weight_nonlocal_consistent > 0:
+            nl_cons = (
+                L.consistency_loss(
+                    cur_nl, last_nl[..., 1:3], batch["flow_forward"], batch["mask"]
+                )
+                * cfg.weight_nonlocal_consistent
+            )
+        else:
+            nl_cons = jnp.zeros(())
+        total += nl_cons
+        metrics["nonlocal_consistent_loss"] = nl_cons
+
+        metrics["total_loss"] = total
+        return total, metrics
+
+    (g_total, metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.params_g, sn_after
+    )
+    g_updates, opt_state_g = tx_g.update(g_grads, state.opt_state_g,
+                                         state.params_g)
+    params_g = jax.tree.map(lambda p, u: p + u, state.params_g, g_updates)
+
+    metrics["discriminator_loss"] = d_loss
+    new_state = TrainState(
+        step=state.step + 1,
+        params_g=params_g,
+        params_d=params_d,
+        sn_state=sn_after,
+        opt_state_g=opt_state_g,
+        opt_state_d=opt_state_d,
+    )
+    return new_state, metrics
+
+
+def _grad_vgg_feats(vgg_params, lab):
+    """VGG features of the prediction — gradients DO flow (frozen weights,
+    live input), unlike _vgg_feats."""
+    rgb = cs.lab_centered_to_rgb(lab)
+    return tuple(vgg19_extract(vgg_params, rgb, FEATURE_TAPS))
+
+
+def make_train_step(tx_g, tx_d, vgg_params, cfg: TrainConfig = TrainConfig(),
+                    donate: bool = True):
+    """jit-compiled train step closure."""
+    fn = functools.partial(train_step, tx_g=tx_g, tx_d=tx_d,
+                           vgg_params=vgg_params, cfg=cfg)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

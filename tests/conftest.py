@@ -8,7 +8,12 @@ to 'highest' so float32 parity checks against the torch oracle are exact to
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the image's sitecustomize pre-imports jax and pins
+# jax_platforms="axon,cpu" (the tunneled TPU), so plain env vars are
+# ignored by the time conftest runs; force the CPU backend through
+# jax.config instead. XLA_FLAGS is still read lazily at CPU-client
+# creation, so the virtual device count env works.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +22,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,190 @@
+"""Numerical parity of VGG19 / WarpNet / ColorVidNet / frame composition
+against the reference PyTorch modules (random weights, converted with
+devc_tpu.utils.convert — so these tests also cover the checkpoint converter).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from devc_tpu.models import (
+    vgg19_extract,
+    warpnet_apply,
+    colorvidnet_apply,
+)
+from devc_tpu.utils import convert
+from tests.oracles import reference_module
+
+
+def _nchw(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def _nhwc(x_torch):
+    return x_torch.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def _feature_normalize_np(x_nhwc):
+    n = np.linalg.norm(x_nhwc, axis=-1, keepdims=True) + np.finfo(np.float64).eps
+    return (x_nhwc / n).astype(np.float32)
+
+
+def test_vgg19_parity(rng):
+    nl = reference_module("models.NonlocalNet")
+    torch.manual_seed(0)
+    ref = nl.VGG19_pytorch().eval()
+    params = convert.vgg19_from_torch(ref.state_dict())
+
+    rgb = rng.rand(1, 64, 64, 3).astype(np.float32)
+    keys = ["r12", "r22", "r32", "r42", "r52"]
+    ours = vgg19_extract(params, jnp.array(rgb), keys)
+    with torch.no_grad():
+        theirs = ref(_nchw(rgb), keys, preprocess=True)
+    for o, t, k in zip(ours, theirs, keys):
+        np.testing.assert_allclose(
+            np.asarray(o), _nhwc(t), atol=2e-3, rtol=1e-3, err_msg=k
+        )
+
+
+def _random_warpnet_inputs(rng, b, h, w):
+    """Random normalized pyramid features with the right shapes."""
+    shapes = {
+        "2_1": (b, h // 2, w // 2, 128),
+        "3_1": (b, h // 4, w // 4, 256),
+        "4_1": (b, h // 8, w // 8, 512),
+        "5_1": (b, h // 16, w // 16, 512),
+    }
+    feats = {k: _feature_normalize_np(rng.randn(*s).astype(np.float32))
+             for k, s in shapes.items()}
+    return feats
+
+
+def _warpnet_parity(h, w, temperature):
+    nl = reference_module("models.NonlocalNet")
+    rng = np.random.RandomState(42)
+    torch.manual_seed(1)
+    ref = nl.WarpNet(1).eval()
+    params = convert.warpnet_from_torch(ref.state_dict())
+
+    b = 1
+    b_lab = (rng.rand(b, h, w, 3).astype(np.float32) - 0.5) * 100
+    a_f = _random_warpnet_inputs(rng, b, h, w)
+    b_f = _random_warpnet_inputs(rng, b, h, w)
+
+    warped, sim = warpnet_apply(
+        params,
+        jnp.array(b_lab),
+        tuple(jnp.array(a_f[k]) for k in ("2_1", "3_1", "4_1", "5_1")),
+        tuple(jnp.array(b_f[k]) for k in ("2_1", "3_1", "4_1", "5_1")),
+        temperature=temperature,
+        use_pallas=False,
+    )
+    with torch.no_grad():
+        warped_t, sim_t = ref(
+            _nchw(b_lab),
+            _nchw(a_f["2_1"]), _nchw(a_f["3_1"]), _nchw(a_f["4_1"]), _nchw(a_f["5_1"]),
+            _nchw(b_f["2_1"]), _nchw(b_f["3_1"]), _nchw(b_f["4_1"]), _nchw(b_f["5_1"]),
+            temperature=temperature,
+        )
+    np.testing.assert_allclose(np.asarray(sim), _nhwc(sim_t), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(warped), _nhwc(warped_t), atol=5e-3, rtol=1e-3)
+
+
+def test_warpnet_parity():
+    _warpnet_parity(64, 96, 0.005)
+
+
+def test_warpnet_parity_pad_path_hard_temperature():
+    # H=72: relu5_1 floor-pools to H/16=4 -> pyramid gives 16, needs the
+    # replicate pad to reach H/4=18 (reference NonlocalNet.py:461-463).
+    # Also exercises the T=1e-10 hard-argmax warp (reference test.py:94).
+    _warpnet_parity(72, 96, 1e-10)
+
+
+def test_colorvidnet_parity(rng):
+    cv = reference_module("models.ColorVidNet")
+    torch.manual_seed(2)
+    ref = cv.ColorVidNet(7).eval()
+    params = convert.colorvidnet_from_torch(ref.state_dict())
+
+    x = rng.randn(2, 32, 48, 7).astype(np.float32) * 20
+    ours = np.asarray(colorvidnet_apply(params, jnp.array(x)))
+    with torch.no_grad():
+        theirs = _nhwc(ref(_nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_frame_colorization_parity(rng):
+    """End-to-end single-frame parity: VGG -> WarpNet -> ColorVidNet."""
+    nl = reference_module("models.NonlocalNet")
+    cv = reference_module("models.ColorVidNet")
+    fc = reference_module("models.FrameColor")
+    from devc_tpu.pipeline.frame import frame_colorization, extract_reference_features
+
+    torch.manual_seed(3)
+    vgg_t = nl.VGG19_pytorch().eval()
+    warp_t = nl.WarpNet(1).eval()
+    color_t = cv.ColorVidNet(7).eval()
+
+    params = {
+        "vgg": convert.vgg19_from_torch(vgg_t.state_dict()),
+        "warpnet": convert.warpnet_from_torch(warp_t.state_dict()),
+        "colorvid": convert.colorvidnet_from_torch(color_t.state_dict()),
+    }
+
+    h, w = 64, 64
+    a_lab = np.concatenate(
+        [
+            (rng.rand(1, h, w, 1).astype(np.float32) - 0.5) * 90,
+            (rng.rand(1, h, w, 2).astype(np.float32) - 0.5) * 180,
+        ],
+        axis=-1,
+    )
+    b_lab = np.concatenate(
+        [
+            (rng.rand(1, h, w, 1).astype(np.float32) - 0.5) * 90,
+            (rng.rand(1, h, w, 2).astype(np.float32) - 0.5) * 180,
+        ],
+        axis=-1,
+    )
+    last_lab = np.zeros((1, h, w, 3), np.float32)
+
+    features_b = extract_reference_features(params["vgg"], jnp.array(b_lab))
+    pred_ab, warped_lab, sim, _ = frame_colorization(
+        params,
+        jnp.array(a_lab),
+        jnp.array(b_lab),
+        jnp.array(last_lab),
+        features_b,
+        temperature=0.01,
+        joint_training=False,
+        use_pallas=False,
+    )
+
+    util = reference_module("utils.util")
+    with torch.no_grad():
+        b_lab_t = _nchw(b_lab)
+        b_rgb_t = util.tensor_lab2rgb(
+            torch.cat([util.uncenter_l(b_lab_t[:, 0:1]), b_lab_t[:, 1:3]], dim=1)
+        )
+        features_b_t = vgg_t(b_rgb_t, ["r12", "r22", "r32", "r42", "r52"])
+        pred_t, warped_t, _feats = fc.frame_colorization(
+            _nchw(a_lab),
+            b_lab_t,
+            _nchw(last_lab),
+            features_b_t,
+            vgg_t,
+            warp_t,
+            color_t,
+            joint_training=False,
+            temperature=0.01,
+        )
+    # ab is in [-128, 128]; 0.1 absolute = 0.04% of range. Residual error is
+    # accumulated fp noise through 20 convs amplified by tanh*128.
+    np.testing.assert_allclose(
+        np.asarray(pred_ab), _nhwc(pred_t), atol=1e-1
+    )
+    np.testing.assert_allclose(
+        np.asarray(warped_lab), _nhwc(warped_t), atol=1e-2, rtol=1e-3
+    )

@@ -1,0 +1,49 @@
+"""Fused Pallas correspondence kernel vs the einsum oracle (interpret mode
+on CPU; the same kernel compiles with Mosaic on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from devc_tpu.ops.correspondence import correspondence_warp_einsum
+from devc_tpu.ops.pallas_corr import correspondence_warp_pallas
+
+
+def _run(b, nq, nk, c, v, temperature, tq=128, tk=128, seed=0):
+    rng = np.random.RandomState(seed)
+    theta = rng.randn(b, nq, c).astype(np.float32)
+    theta /= np.linalg.norm(theta, axis=-1, keepdims=True)
+    phi = rng.randn(b, nk, c).astype(np.float32)
+    phi /= np.linalg.norm(phi, axis=-1, keepdims=True)
+    values = (rng.rand(b, nk, v).astype(np.float32) - 0.5) * 200
+
+    w_ref, s_ref = correspondence_warp_einsum(
+        jnp.array(theta), jnp.array(phi), jnp.array(values), temperature
+    )
+    w, s = correspondence_warp_pallas(
+        jnp.array(theta), jnp.array(phi), jnp.array(values), temperature,
+        tq=tq, tk=tk, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-3)
+
+
+def test_pallas_corr_aligned():
+    _run(1, 256, 256, 64, 3, temperature=0.01)
+
+
+def test_pallas_corr_unaligned_sizes():
+    # Nq/Nk not multiples of the tile (216x384 -> N=5184 = 40.5 * 128)
+    _run(1, 200, 312, 64, 3, temperature=0.01)
+
+
+def test_pallas_corr_multi_k_tiles():
+    _run(1, 128, 512, 32, 3, temperature=0.05, tq=128, tk=128)
+
+
+def test_pallas_corr_hard_argmax_temperature():
+    _run(1, 128, 384, 32, 3, temperature=1e-10)
+
+
+def test_pallas_corr_batched():
+    _run(2, 128, 256, 32, 3, temperature=0.01)

@@ -1,0 +1,156 @@
+"""Training-stack tests: one jitted GAN step on a tiny mesh, checkpoint
+roundtrip, discriminator sanity, loss-weight gating."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from devc_tpu.train.loop import TrainConfig, train_step
+from devc_tpu.train.state import create_train_state
+
+
+def _tiny_vgg(seed=1):
+    from devc_tpu.models import vgg19_init
+
+    return vgg19_init(jax.random.PRNGKey(seed))
+
+
+def _batch(b=2, h=64, w=64):
+    ks = jax.random.split(jax.random.PRNGKey(2), 8)
+    return {
+        "last_lab": jax.random.uniform(ks[0], (b, h, w, 3), jnp.float32, -50, 50),
+        "current_lab": jax.random.uniform(ks[1], (b, h, w, 3), jnp.float32, -50, 50),
+        "ref_lab": jax.random.uniform(ks[2], (b, h, w, 3), jnp.float32, -50, 50),
+        "flow_forward": jax.random.normal(ks[3], (b, h, w, 2)) * 2.0,
+        "flow_backward": jnp.zeros((b, h, w, 2)),
+        "mask": jnp.ones((b, h, w, 1)),
+        "placeholder_lab": jnp.zeros((b, h, w, 3)),
+        "self_ref_flag": jnp.ones((b, 1)),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    state, tx_g, tx_d = create_train_state(jax.random.PRNGKey(0))
+    return state, tx_g, tx_d, _tiny_vgg()
+
+
+def test_train_step_runs_and_updates(setup):
+    state, tx_g, tx_d, vgg = setup
+    cfg = TrainConfig(use_pallas=False)
+    fn = jax.jit(functools.partial(train_step, tx_g=tx_g, tx_d=tx_d,
+                                   vgg_params=vgg, cfg=cfg))
+    new_state, metrics = fn(state, _batch(), jax.random.PRNGKey(3))
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} is not finite: {v}"
+    assert int(new_state.step) == 1
+
+    # parameters actually moved
+    def max_delta(a, b):
+        return max(
+            float(jnp.abs(x - y).max())
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+        )
+
+    assert max_delta(new_state.params_g, state.params_g) > 0
+    # NOTE: at this tiny test size the critic's stage-6 features are 1x1,
+    # InstanceNorm zeroes them and real/fake logits coincide -> D grads
+    # cancel exactly. D learning is asserted at canonical resolution in
+    # test_discriminator_grads_nonzero instead.
+    # spectral-norm power-iteration vectors advanced
+    assert max_delta(new_state.sn_state, state.sn_state) > 0
+
+
+def test_discriminator_grads_nonzero(setup):
+    from devc_tpu.models.discriminator import discriminator_apply
+    from devc_tpu.train import losses as L
+
+    state, *_ = setup
+    fake = jax.random.normal(jax.random.PRNGKey(5), (2, 216, 384, 6)) * 20
+    real = jax.random.normal(jax.random.PRNGKey(6), (2, 216, 384, 6)) * 20
+
+    def d_loss(pd):
+        fl, _, sn1 = discriminator_apply(pd, state.sn_state, fake)
+        rl, _, _ = discriminator_apply(pd, sn1, real)
+        return L.ralsgan_d_loss(rl, fl)
+
+    grads = jax.jit(jax.grad(d_loss))(state.params_d)
+    gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_train_step_data_sharded(setup):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from devc_tpu.parallel.mesh import make_mesh
+
+    state, tx_g, tx_d, vgg = setup
+    n = min(4, len(jax.devices()))
+    mesh = make_mesh(n_data=n)
+    cfg = TrainConfig(use_pallas=False)
+    fn = jax.jit(functools.partial(train_step, tx_g=tx_g, tx_d=tx_d,
+                                   vgg_params=vgg, cfg=cfg))
+    batch = _batch(b=n)
+    batch = {
+        k: jax.device_put(
+            v, NamedSharding(mesh, P(*["data"] + [None] * (v.ndim - 1)))
+        )
+        for k, v in batch.items()
+    }
+    repl = NamedSharding(mesh, P())
+    state_r = jax.device_put(state, repl)
+    with mesh:
+        new_state, metrics = fn(state_r, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_gan_weight_zero_skips_discriminator(setup):
+    state, tx_g, tx_d, vgg = setup
+    cfg = TrainConfig(weight_gan=0.0, use_pallas=False)
+    fn = jax.jit(functools.partial(train_step, tx_g=tx_g, tx_d=tx_d,
+                                   vgg_params=vgg, cfg=cfg))
+    new_state, metrics = fn(state, _batch(), jax.random.PRNGKey(3))
+    assert float(metrics["discriminator_loss"]) == 0.0
+    assert float(metrics["generator_loss"]) == 0.0
+    d0 = jax.tree.leaves(state.params_d)
+    d1 = jax.tree.leaves(new_state.params_d)
+    assert all(float(jnp.abs(a - b).max()) == 0 for a, b in zip(d0, d1))
+
+
+def test_discriminator_canonical_resolution():
+    """At 216x384 the [3,6] head sees exactly 3x6 (reference train res)."""
+    from devc_tpu.models import discriminator_apply, discriminator_init
+
+    params, sn = discriminator_init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 216, 384, 6))
+    logit, feat4, new_sn = discriminator_apply(params, sn, x)
+    assert logit.shape == (1, 1)
+    assert np.isfinite(np.asarray(logit)).all()
+    assert feat4.shape[1:] == (216 // 16, 384 // 16, 256)
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    from devc_tpu.train.checkpoint import CheckpointManager
+
+    state, tx_g, tx_d, _ = setup
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=1)
+    assert mgr.save(0, state, force=True)
+    mgr.wait()
+    restored = mgr.restore(state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_lr_schedule_steps():
+    from devc_tpu.train.state import make_lr_schedule
+
+    sched = make_lr_schedule(1e-3, step_size=100, gamma=0.1)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(99)) == pytest.approx(1e-3)
+    assert float(sched(100)) == pytest.approx(1e-4)
+    assert float(sched(250)) == pytest.approx(1e-5)
