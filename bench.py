@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main():
+    from devc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from __graft_entry__ import _make_params
     from devc_tpu.pipeline.video import _device_frame_step, _device_ref_features
 

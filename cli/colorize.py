@@ -25,19 +25,9 @@ def build_params(args):
     import jax.numpy as jnp
 
     if args.random_init:
-        from devc_tpu.models import (
-            colorvidnet_init,
-            vgg19_init,
-            warpnet_init,
-        )
+        from devc_tpu.utils.init import host_pipeline_params
 
-        k = jax.random.PRNGKey(args.seed)
-        k1, k2, k3 = jax.random.split(k, 3)
-        params = {
-            "vgg": vgg19_init(k1),
-            "warpnet": warpnet_init(k2),
-            "colorvid": colorvidnet_init(k3),
-        }
+        params = host_pipeline_params(args.seed)
     else:
         from devc_tpu.utils.convert import convert_checkpoints
 
@@ -100,6 +90,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
+    from devc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from devc_tpu.pipeline.video import colorize_video
 
     params = build_params(args)

@@ -24,6 +24,47 @@ import jax
 import jax.numpy as jnp
 
 
+def _tridiag_pcr(a, b, c, d):
+    """Parallel cyclic reduction for tridiagonal systems.
+
+    a, b, c, d: [L, B] (sub/diag/super/rhs; a[0], c[-1] ignored).
+    ceil(log2(L)) fully-vectorized elimination steps instead of the Thomas
+    algorithm's L sequential ones — the TPU-friendly formulation (the
+    sequential scan compiles to an L-iteration loop of tiny vector ops and
+    dominates wall-clock at 768-wide scanlines). Stable for the diagonally
+    dominant systems the smoother produces.
+    """
+    L = a.shape[0]
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    c = c.astype(jnp.float32)
+    d = d.astype(jnp.float32)
+
+    def shift_down(x, s, fill):  # row i takes value from i-s
+        return jnp.concatenate([jnp.full((s,) + x.shape[1:], fill, x.dtype),
+                                x[:-s]], axis=0)
+
+    def shift_up(x, s, fill):  # row i takes value from i+s
+        return jnp.concatenate([x[s:],
+                                jnp.full((s,) + x.shape[1:], fill, x.dtype)],
+                               axis=0)
+
+    s = 1
+    while s < L:
+        am, bm, cm, dm = (shift_down(x, s, f) for x, f in
+                          ((a, 0.0), (b, 1.0), (c, 0.0), (d, 0.0)))
+        ap, bp, cp, dp = (shift_up(x, s, f) for x, f in
+                          ((a, 0.0), (b, 1.0), (c, 0.0), (d, 0.0)))
+        alpha = -a / bm
+        gamma = -c / bp
+        a = alpha * am
+        b = b + alpha * cm + gamma * ap
+        c = gamma * cp
+        d = d + alpha * dm + gamma * dp
+        s *= 2
+    return d / b
+
+
 def _tridiag_thomas(a, b, c, d):
     """Solve tridiagonal systems via the Thomas algorithm.
 
@@ -52,7 +93,7 @@ def _tridiag_thomas(a, b, c, d):
     return x_rev
 
 
-def _smooth_axis(src, guide, lam_t, sigma_color):
+def _smooth_axis(src, guide, lam_t, sigma_color, solver="pcr"):
     """One horizontal WLS pass. src: [H, W, C]; guide: [H, W]."""
     h, w, c = src.shape
     # neighbor weights along W on the guide
@@ -72,13 +113,15 @@ def _smooth_axis(src, guide, lam_t, sigma_color):
     cc = jnp.broadcast_to(sup.T[:, :, None], (w, h, c)).reshape(w, h * c)
     d = jnp.transpose(src, (1, 0, 2)).reshape(w, h * c)
 
-    x = _tridiag_thomas(a, b, cc, d)
+    solve = _tridiag_pcr if solver == "pcr" else _tridiag_thomas
+    x = solve(a, b, cc, d)
     return jnp.transpose(x.reshape(w, h, c), (1, 0, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("num_iter",))
+@functools.partial(jax.jit, static_argnames=("num_iter", "solver"))
 def fast_global_smoother(
-    src, guide, lam: float = 500.0, sigma_color: float = 4.0, num_iter: int = 3
+    src, guide, lam: float = 500.0, sigma_color: float = 4.0,
+    num_iter: int = 3, solver: str = "pcr",
 ):
     """Edge-aware smoothing of `src` guided by `guide`.
 
@@ -97,9 +140,9 @@ def fast_global_smoother(
     denom = 4.0**t_total - 1.0
     for t in range(1, t_total + 1):
         lam_t = 1.5 * lam * (4.0 ** (t_total - t)) / denom
-        out = _smooth_axis(out, guide, lam_t, sigma_color)
+        out = _smooth_axis(out, guide, lam_t, sigma_color, solver)
         out_t = _smooth_axis(
-            jnp.transpose(out, (1, 0, 2)), guide.T, lam_t, sigma_color
+            jnp.transpose(out, (1, 0, 2)), guide.T, lam_t, sigma_color, solver
         )
         out = jnp.transpose(out_t, (1, 0, 2))
     return out

@@ -17,20 +17,31 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _torch_bilinear_1d_weights(in_size: int, out_size: int, dtype):
-    """Source indices + lerp weights for torch bilinear, align_corners=False.
+import numpy as np
 
-    src = (dst + 0.5) * (in/out) - 0.5, clamped into [0, in-1].
-    Returns (lo_idx, hi_idx, hi_weight) each of shape [out_size].
+
+def _interp_matrix_np(in_size: int, out_size: int, align_corners: bool):
+    """Torch-bilinear interpolation matrix as a HOST numpy constant.
+
+    Built with numpy at trace time (sizes are static) so it folds into the
+    compiled program as a literal — no device scatters to compile.
+    src = (dst + 0.5) * (in/out) - 0.5 clamped (align_corners=False), or
+    dst * (in-1)/(out-1) (align_corners=True).
     """
-    scale = in_size / out_size
-    dst = jnp.arange(out_size, dtype=jnp.float32)
-    src = (dst + 0.5) * scale - 0.5
-    src = jnp.clip(src, 0.0, in_size - 1)
-    lo = jnp.floor(src).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, in_size - 1)
-    w_hi = (src - lo.astype(jnp.float32)).astype(dtype)
-    return lo, hi, w_hi
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners and out_size > 1:
+        src = dst * ((in_size - 1) / (out_size - 1))
+    else:
+        src = (dst + 0.5) * (in_size / out_size) - 0.5
+    src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = src - lo
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, lo), (1.0 - w_hi).astype(np.float32))
+    np.add.at(m, (rows, hi), w_hi.astype(np.float32))
+    return m
 
 
 def resize_bilinear(x, out_hw, align_corners: bool = False):
@@ -46,26 +57,8 @@ def resize_bilinear(x, out_hw, align_corners: bool = False):
         return x
     dtype = x.dtype
 
-    def interp_matrix(in_size, out_size):
-        if align_corners and out_size > 1:
-            src = jnp.arange(out_size, dtype=jnp.float32) * (
-                (in_size - 1) / (out_size - 1)
-            )
-            src = jnp.clip(src, 0.0, in_size - 1)
-            lo = jnp.floor(src).astype(jnp.int32)
-            hi = jnp.minimum(lo + 1, in_size - 1)
-            w_hi = src - lo.astype(jnp.float32)
-        else:
-            lo, hi, w_hi = _torch_bilinear_1d_weights(in_size, out_size, jnp.float32)
-            w_hi = w_hi.astype(jnp.float32)
-        m = jnp.zeros((out_size, in_size), dtype=jnp.float32)
-        rows = jnp.arange(out_size)
-        m = m.at[rows, lo].add(1.0 - w_hi)
-        m = m.at[rows, hi].add(w_hi)
-        return m
-
-    mh = interp_matrix(h, out_h)  # [out_h, h]
-    mw = interp_matrix(w, out_w)  # [out_w, w]
+    mh = jnp.asarray(_interp_matrix_np(h, out_h, align_corners))  # [out_h, h]
+    mw = jnp.asarray(_interp_matrix_np(w, out_w, align_corners))  # [out_w, w]
     y = jnp.einsum("oh,nhwc->nowc", mh, x.astype(jnp.float32))
     y = jnp.einsum("pw,nowc->nopc", mw, y)
     return y.astype(dtype)

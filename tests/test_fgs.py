@@ -4,7 +4,28 @@ smoothing properties."""
 import numpy as np
 import jax.numpy as jnp
 
-from devc_tpu.ops.fgs import _tridiag_thomas, fast_global_smoother
+from devc_tpu.ops.fgs import _tridiag_pcr, _tridiag_thomas, fast_global_smoother
+
+
+def test_pcr_matches_thomas(rng):
+    L, B = 53, 6
+    a = rng.rand(L, B).astype(np.float32) * 0.3
+    c = rng.rand(L, B).astype(np.float32) * 0.3
+    b = 1.0 + rng.rand(L, B).astype(np.float32)
+    a[0] = 0
+    c[-1] = 0
+    d = rng.randn(L, B).astype(np.float32)
+    x_pcr = np.asarray(_tridiag_pcr(jnp.array(a), jnp.array(b), jnp.array(c), jnp.array(d)))
+    x_th = np.asarray(_tridiag_thomas(jnp.array(a), jnp.array(b), jnp.array(c), jnp.array(d)))
+    np.testing.assert_allclose(x_pcr, x_th, atol=2e-4)
+
+
+def test_fgs_solvers_agree(rng):
+    src = rng.randn(24, 40, 2).astype(np.float32) * 10
+    guide = (rng.rand(24, 40) * 255).astype(np.float32)
+    a = np.asarray(fast_global_smoother(jnp.array(src), jnp.array(guide), solver="pcr"))
+    b = np.asarray(fast_global_smoother(jnp.array(src), jnp.array(guide), solver="thomas"))
+    np.testing.assert_allclose(a, b, atol=1e-3)
 
 
 def test_thomas_solver_matches_dense(rng):
