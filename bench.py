@@ -39,12 +39,12 @@ def main():
         for _ in range(4)
     ]
 
-    ref_lab_small, features_b = _device_ref_features(params, ref_u8)
+    ref_lab_small, ref_state = _device_ref_features(params, ref_u8)
     last = jnp.zeros((1, h // 2, w // 2, 3), jnp.float32)
 
     def step(frame, last):
         return _device_frame_step(
-            params, frame, last, ref_lab_small, features_b,
+            params, frame, last, ref_lab_small, ref_state,
             temperature=1e-10, wls=True, use_pallas=True if on_tpu else False,
         )
 

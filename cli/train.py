@@ -80,6 +80,10 @@ def main(argv=None):
     from devc_tpu.utils.profiling import StepTimer
 
     print("options:", vars(args))
+    from devc_tpu.utils.logging import dump_options
+
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    dump_options(args, os.path.join(args.checkpoint_dir, "opt.txt"))
 
     # ---- data ----
     datasets = []

@@ -134,6 +134,59 @@ def _center_normalize(feat_flat, eps=2.220446049250313e-16):
     return feat / norm
 
 
+def embed_queries(params, a_feats, hw):
+    """Frame-side embedding -> centered/normalized theta [B, N, C]."""
+    fh, fw = hw[0] // 4, hw[1] // 4
+    a_emb = _embed(params, a_feats)
+    theta = conv2d(params["theta"], a_emb)
+    b = theta.shape[0]
+    return _center_normalize(theta.reshape(b, fh * fw, INTER_CH))
+
+
+def embed_keys(params, b_lab, b_feats):
+    """Exemplar-side embedding -> (phi [B,N,C], values [B,N,3]).
+
+    Clip-constant: the reference recomputes this every frame
+    (NonlocalNet.py:452-458 runs the pyramids on B each forward); here it is
+    computed once per exemplar and carried like features_B (test.py:61-66).
+    """
+    B, H, W, _ = b_lab.shape
+    fh, fw = H // 4, W // 4
+    b_emb = _embed(params, b_feats)
+    phi = conv2d(params["phi"], b_emb)
+    phi = _center_normalize(phi.reshape(B, fh * fw, INTER_CH))
+    values = avg_pool(b_lab, 4).reshape(B, fh * fw, 3)
+    return phi, values
+
+
+def warp_with_keys(
+    params,
+    theta,
+    phi,
+    values,
+    out_hw,
+    temperature: float = 0.001 * 5,
+    wta_scale_weight: float = 1.0,
+    use_pallas: bool | None = None,
+    out_dtype=jnp.float32,
+):
+    """Correspondence + upsample given precomputed embeddings."""
+    B = theta.shape[0]
+    fh, fw = out_hw[0] // 4, out_hw[1] // 4
+    warped, similarity = correspondence_warp(
+        theta, phi, values,
+        temperature=temperature,
+        wta_scale_weight=wta_scale_weight,
+        use_pallas=use_pallas,
+    )
+    warped = warped.reshape(B, fh, fw, 3)
+    similarity = similarity.reshape(B, fh, fw, 1)
+    return (
+        upsample_nearest(warped, 4).astype(out_dtype),
+        upsample_nearest(similarity, 4).astype(out_dtype),
+    )
+
+
 def warpnet_apply(
     params,
     b_lab,
@@ -158,32 +211,13 @@ def warpnet_apply(
     Returns:
       warped_lab: [B, H, W, 3], similarity: [B, H, W, 1].
     """
-    B, H, W, _ = b_lab.shape
-    fh, fw = H // 4, W // 4
-
-    a_emb = _embed(params, a_feats)
-    b_emb = _embed(params, b_feats)
-
-    theta = conv2d(params["theta"], a_emb)  # [B, fh, fw, 256]
-    phi = conv2d(params["phi"], b_emb)
-
-    theta = _center_normalize(theta.reshape(B, fh * fw, INTER_CH))
-    phi = _center_normalize(phi.reshape(B, fh * fw, INTER_CH))
-
-    values = avg_pool(b_lab, 4).reshape(B, fh * fw, 3)
-
-    warped, similarity = correspondence_warp(
-        theta,
-        phi,
-        values,
+    H, W = b_lab.shape[1], b_lab.shape[2]
+    theta = embed_queries(params, a_feats, (H, W))
+    phi, values = embed_keys(params, b_lab, b_feats)
+    return warp_with_keys(
+        params, theta, phi, values, (H, W),
         temperature=temperature,
         wta_scale_weight=wta_scale_weight,
         use_pallas=use_pallas,
-    )
-
-    warped = warped.reshape(B, fh, fw, 3)
-    similarity = similarity.reshape(B, fh, fw, 1)
-    return (
-        upsample_nearest(warped, 4).astype(b_lab.dtype),
-        upsample_nearest(similarity, 4).astype(b_lab.dtype),
+        out_dtype=b_lab.dtype,
     )

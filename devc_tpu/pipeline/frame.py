@@ -34,6 +34,23 @@ def extract_reference_features(vgg_params, ref_lab):
     return tuple(vgg19_extract(vgg_params, ref_rgb, FEATURE_TAPS))
 
 
+def prepare_reference(params, ref_lab):
+    """Full clip-constant exemplar state: VGG features + WarpNet key
+    embedding (phi, values).
+
+    The reference recomputes the exemplar's half of the correspondence
+    network every frame; it only depends on the exemplar, so at inference
+    we compute it once and carry it (saving ~half of WarpNet per frame).
+    Returns dict(features, phi, values).
+    """
+    from devc_tpu.models.warpnet import embed_keys
+
+    features_b = extract_reference_features(params["vgg"], ref_lab)
+    b_n = tuple(cs.feature_normalize(f) for f in features_b[1:])
+    phi, values = embed_keys(params["warpnet"], ref_lab, b_n)
+    return {"features": features_b, "phi": phi, "values": values}
+
+
 def warp_color(
     params,
     a_l,
@@ -41,12 +58,15 @@ def warp_color(
     features_b,
     temperature: float = 0.01,
     use_pallas: bool | None = None,
+    ref_embedding=None,
 ):
     """Warp exemplar color onto the gray frame (reference FrameColor.py:5-38).
 
     a_l: [B, H, W, 1] centered luminance of the frame.
     b_lab: [B, H, W, 3] exemplar network-Lab.
     features_b: 5-tuple from extract_reference_features.
+    ref_embedding: optional (phi, values) from prepare_reference — skips
+      recomputing the exemplar half of WarpNet (inference fast path).
 
     Returns (warped_lab [B,H,W,3], similarity [B,H,W,1], features_a 5-tuple).
     VGG features of the gray frame are non-differentiable (frozen extractor,
@@ -58,18 +78,31 @@ def warp_color(
 
     # channel-L2 normalization of scales 2_1..5_1 (FrameColor.py:16-23)
     a_n = tuple(cs.feature_normalize(f) for f in feats_a[1:])
-    b_n = tuple(
-        cs.feature_normalize(jax.lax.stop_gradient(f)) for f in features_b[1:]
-    )
 
-    warped_lab, similarity = warpnet_apply(
-        params["warpnet"],
-        b_lab,
-        a_n,
-        b_n,
-        temperature=temperature,
-        use_pallas=use_pallas,
-    )
+    if ref_embedding is not None:
+        from devc_tpu.models.warpnet import embed_queries, warp_with_keys
+
+        hw = (a_l.shape[1], a_l.shape[2])
+        theta = embed_queries(params["warpnet"], a_n, hw)
+        phi, values = ref_embedding
+        warped_lab, similarity = warp_with_keys(
+            params["warpnet"], theta, phi, values, hw,
+            temperature=temperature, use_pallas=use_pallas,
+            out_dtype=a_l.dtype,
+        )
+    else:
+        b_n = tuple(
+            cs.feature_normalize(jax.lax.stop_gradient(f))
+            for f in features_b[1:]
+        )
+        warped_lab, similarity = warpnet_apply(
+            params["warpnet"],
+            b_lab,
+            a_n,
+            b_n,
+            temperature=temperature,
+            use_pallas=use_pallas,
+        )
     return warped_lab, similarity, feats_a
 
 
@@ -84,6 +117,7 @@ def frame_colorization(
     noise_key=None,
     joint_training: bool = True,
     use_pallas: bool | None = None,
+    ref_embedding=None,
 ):
     """Colorize one frame (reference FrameColor.py:41-67).
 
@@ -106,7 +140,7 @@ def frame_colorization(
 
     warped_lab, similarity, feats_a = warp_color(
         params, a_l, b_lab, features_b, temperature=temperature,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, ref_embedding=ref_embedding,
     )
     if not joint_training:
         warped_lab = jax.lax.stop_gradient(warped_lab)

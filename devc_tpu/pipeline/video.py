@@ -26,7 +26,7 @@ from devc_tpu import colorspace as cs
 from devc_tpu.data.transforms import load_frame_rgb, sort_frames_numerically
 from devc_tpu.ops.fgs import fast_global_smoother
 from devc_tpu.ops.resize import resize_bilinear
-from devc_tpu.pipeline.frame import extract_reference_features, frame_colorization
+from devc_tpu.pipeline.frame import frame_colorization, prepare_reference
 
 
 def _preprocess_device(rgb_u8):
@@ -47,7 +47,7 @@ def _device_frame_step(
     rgb_u8,
     last_lab,
     ref_lab_small,
-    features_b,
+    ref_state,
     temperature: float = 1e-10,
     wls: bool = True,
     lambda_value: float = 500.0,
@@ -62,10 +62,11 @@ def _device_frame_step(
         lab_small,
         ref_lab_small,
         last_lab,
-        features_b,
+        ref_state["features"],
         temperature=temperature,
         joint_training=False,
         use_pallas=use_pallas,
+        ref_embedding=(ref_state["phi"], ref_state["values"]),
     )
     new_last = jnp.concatenate([lab_small[..., 0:1], pred_ab], axis=-1)
 
@@ -88,10 +89,11 @@ def _device_frame_step(
 
 @jax.jit
 def _device_ref_features(params, ref_rgb_u8):
-    """Exemplar prep, once per clip (reference test.py:57-66)."""
+    """Exemplar prep, once per clip (reference test.py:57-66): VGG features
+    plus the WarpNet key embedding (phi, values)."""
     _, ref_lab_small = _preprocess_device(ref_rgb_u8)
-    features_b = extract_reference_features(params["vgg"], ref_lab_small)
-    return ref_lab_small, features_b
+    ref_state = prepare_reference(params, ref_lab_small)
+    return ref_lab_small, ref_state
 
 
 def list_clip_frames(clip_dir: str):
@@ -153,7 +155,7 @@ def colorize_video(
 
     ref_file = os.path.join(clip_dir, names[0]) if frame_propagate else ref_path
     ref_rgb = load_frame_rgb(ref_file, image_size)
-    ref_lab_small, features_b = _device_ref_features(params, jnp.array(ref_rgb))
+    ref_lab_small, ref_state = _device_ref_features(params, jnp.array(ref_rgb))
 
     h2, w2 = image_size[0] // 2, image_size[1] // 2
     if frame_propagate:
@@ -198,7 +200,7 @@ def colorize_video(
             jnp.array(rgb),
             last_lab,
             ref_lab_small,
-            features_b,
+            ref_state,
             temperature=temperature,
             wls=wls,
             lambda_value=lambda_value,

@@ -19,6 +19,38 @@ from typing import Callable
 import numpy as np
 
 
+class MovingAvg:
+    """Fixed-window moving average (reference utils/util.py:34-52)."""
+
+    def __init__(self, pool_size: int = 100):
+        from collections import deque
+
+        self._pool = deque(maxlen=pool_size)
+
+    def update(self, val: float) -> float:
+        self._pool.append(float(val))
+        return sum(self._pool) / len(self._pool)
+
+
+def dump_options(args, path: str = "opt.txt"):
+    """Write sorted options to disk (reference utils/util.py:292-312)."""
+    import sys
+    import time as _time
+
+    opts = vars(args) if not isinstance(args, dict) else args
+    with open(path, "w") as f:
+        f.write(
+            os.path.basename(sys.argv[0])
+            + " "
+            + _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime())
+            + "\n"
+        )
+        f.write("------------ Options -------------\n")
+        for k, v in sorted(opts.items()):
+            f.write(f"{k}: {v}\n")
+        f.write("-------------- End ----------------\n")
+
+
 class MetricsLogger:
     """Scalars -> tensorboard (if available) + metrics.jsonl (always)."""
 

@@ -125,3 +125,24 @@ def test_elastic_flow_smoothness(rng):
     assert dx.shape == (32, 48)
     # gaussian-smoothed field: neighboring values are close
     assert np.abs(np.diff(dx, axis=0)).max() < 5.0
+
+
+def test_flow_to_color_properties(rng):
+    from devc_tpu.data.flow import flow_to_color
+
+    flow = rng.randn(16, 20, 2).astype(np.float32) * 5
+    img = flow_to_color(flow)
+    assert img.shape == (16, 20, 3) and img.dtype == np.uint8
+    # zero flow maps to (near-)white under the Middlebury convention
+    white = flow_to_color(np.zeros((4, 4, 2), np.float32))
+    assert white.min() >= 250
+
+
+def test_moving_avg():
+    from devc_tpu.utils.logging import MovingAvg
+
+    m = MovingAvg(pool_size=3)
+    assert m.update(1) == 1
+    assert m.update(3) == 2
+    assert m.update(5) == 3
+    assert m.update(7) == 5  # window slides: (3+5+7)/3

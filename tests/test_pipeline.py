@@ -41,20 +41,55 @@ def test_clip_scan_matches_per_frame(params, rng):
     # and the recurrence amplifies that; compiled-vs-compiled is exact)
     import functools
 
+    from devc_tpu.pipeline.frame import prepare_reference
+
+    ref_state = jax.jit(prepare_reference)(params, ref[None])
+    # re-run the scan with the SAME precomputed ref_state the oracle uses
+    import functools as _ft
+
+    pred_scan, sim_scan = jax.jit(_ft.partial(
+        colorize_clip, temperature=0.01
+    ))(params, frames, ref, ref_state)
+
     step = jax.jit(functools.partial(
-        frame_colorization, temperature=0.01, joint_training=False
+        frame_colorization, temperature=0.01, joint_training=False,
+        ref_embedding=(ref_state["phi"], ref_state["values"]),
     ))
-    features_b = extract_reference_features(params["vgg"], ref[None])
     last = jnp.zeros((1, h, w, 3), jnp.float32)
     preds = []
     for i in range(t):
         pred_ab, _, sim, _ = step(
-            params, frames[i][None], ref[None], last, features_b
+            params, frames[i][None], ref[None], last, ref_state["features"]
         )
         last = jnp.concatenate([frames[i][None, ..., 0:1], pred_ab], axis=-1)
         preds.append(np.asarray(pred_ab[0]))
 
     np.testing.assert_allclose(np.asarray(pred_scan), np.stack(preds), atol=1e-4)
+
+
+def test_cached_ref_embedding_matches_full_path(params, rng):
+    """prepare_reference + ref_embedding == recomputing the exemplar half of
+    WarpNet every frame (single frame: no recurrence amplification)."""
+    import functools
+
+    from devc_tpu.pipeline.frame import prepare_reference
+
+    h, w = 32, 64
+    frame = jnp.array((rng.rand(1, h, w, 3).astype(np.float32) - 0.5) * 80)
+    ref = jnp.array((rng.rand(1, h, w, 3).astype(np.float32) - 0.5) * 80)
+    last = jnp.zeros((1, h, w, 3), jnp.float32)
+
+    ref_state = jax.jit(prepare_reference)(params, ref)
+    cached = jax.jit(functools.partial(
+        frame_colorization, temperature=0.01, joint_training=False,
+        ref_embedding=(ref_state["phi"], ref_state["values"]),
+    ))(params, frame, ref, last, ref_state["features"])
+    full = jax.jit(functools.partial(
+        frame_colorization, temperature=0.01, joint_training=False,
+    ))(params, frame, ref, last, ref_state["features"])
+    np.testing.assert_allclose(
+        np.asarray(cached[0]), np.asarray(full[0]), atol=5e-3
+    )
 
 
 def test_recurrence_feeds_forward(params, rng):
@@ -82,12 +117,12 @@ def test_streaming_matches_scan(params, rng):
     )
 
     init_fn, step_fn = make_frame_step(params, temperature=0.01)
-    features_b = init_fn(jnp.array(ref))
+    ref_state = init_fn(jnp.array(ref))
     last = jnp.zeros((1, h, w, 3), jnp.float32)
     outs = []
     for i in range(t):
         pred_ab, _sim, last = step_fn(
-            jnp.array(frames[i]), last, jnp.array(ref), features_b
+            jnp.array(frames[i]), last, jnp.array(ref), ref_state
         )
         outs.append(np.asarray(pred_ab[0]))
     np.testing.assert_allclose(np.asarray(pred_scan), np.stack(outs), atol=1e-4)
