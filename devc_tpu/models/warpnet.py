@@ -169,6 +169,7 @@ def warp_with_keys(
     wta_scale_weight: float = 1.0,
     use_pallas: bool | None = None,
     out_dtype=jnp.float32,
+    differentiable: bool = False,
 ):
     """Correspondence + upsample given precomputed embeddings."""
     B = theta.shape[0]
@@ -178,6 +179,7 @@ def warp_with_keys(
         temperature=temperature,
         wta_scale_weight=wta_scale_weight,
         use_pallas=use_pallas,
+        differentiable=differentiable,
     )
     warped = warped.reshape(B, fh, fw, 3)
     similarity = similarity.reshape(B, fh, fw, 1)
@@ -195,6 +197,7 @@ def warpnet_apply(
     temperature: float = 0.001 * 5,
     wta_scale_weight: float = 1.0,
     use_pallas: bool | None = None,
+    differentiable: bool = False,
 ):
     """Warp exemplar colors onto the frame geometry.
 
@@ -220,4 +223,5 @@ def warpnet_apply(
         wta_scale_weight=wta_scale_weight,
         use_pallas=use_pallas,
         out_dtype=b_lab.dtype,
+        differentiable=differentiable,
     )

@@ -84,6 +84,7 @@ def correspondence_warp(
     temperature: float = 0.001 * 5,
     wta_scale_weight: float = 1.0,
     use_pallas: bool | None = None,
+    differentiable: bool = False,
 ):
     """Dispatching wrapper: Pallas fused kernel on TPU, einsum elsewhere.
 
@@ -101,7 +102,7 @@ def correspondence_warp(
 
         return correspondence_warp_pallas(
             theta, phi, values, temperature=temperature,
-            wta_scale_weight=wta_scale_weight,
+            wta_scale_weight=wta_scale_weight, differentiable=differentiable,
         )
     return correspondence_warp_einsum(
         theta, phi, values, temperature=temperature,

@@ -17,8 +17,15 @@ Semantics (matching ops.correspondence.correspondence_warp_einsum):
 T = 1e-10 (inference) turns the softmax into an exact argmax-average:
 exp((f - m)/T) is 1.0 for row maxima and underflows to 0.0 otherwise.
 
-Grid: (batch, q_tiles, k_tiles), k innermost; the (m, l, acc) state lives
-in VMEM scratch that persists across the k sweep for each q tile.
+Training uses a custom flash-style VJP (differentiable=True): residuals are
+(theta, phi, values, rowmax m, denominator l, out) — all O(N*C) — and the
+backward kernels recompute attention tile-wise. The softmax Jacobian term
+uses the flash-attention delta trick D_i = dout_i . out_i; the similarity
+gradient routes to every exactly-tied maximum (the einsum path splits ties
+evenly; exact float ties have measure zero).
+
+Grids iterate (batch, row tiles, reduction tiles) with the reduction
+innermost; state lives in VMEM scratch that persists across the sweep.
 """
 
 from __future__ import annotations
@@ -35,12 +42,31 @@ DEFAULT_TK = 512
 _NEG_INF = -1e30
 
 
-def _corr_kernel(
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _scores(theta_ref, phi_ref, k_tile_idx, tk, nk_valid):
+    """Correlation tile [TQ, TK] with padded key columns masked to -inf."""
+    s = jax.lax.dot_general(
+        theta_ref[0],
+        phi_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + k_tile_idx * tk
+    valid = col < nk_valid
+    return jnp.where(valid, s, _NEG_INF), valid
+
+
+# --------------------------------------------------------------- forward
+def _corr_fwd_kernel(
     theta_ref,  # [1, TQ, C]
     phi_ref,  # [1, TK, C]
     values_ref,  # [1, TK, V]
     out_ref,  # [1, TQ, V]
-    sim_ref,  # [1, TQ]
+    sim_ref,  # [1, TQ, 1]
+    l_ref,  # [1, TQ, 1]
     m_scr,  # [TQ, 1] f32
     l_scr,  # [TQ, 1] f32
     acc_scr,  # [TQ, V] f32
@@ -48,6 +74,7 @@ def _corr_kernel(
     inv_temperature: float,
     nk_valid: int,
     tk: int,
+    emit_l: bool,
 ):
     k = pl.program_id(2)
     nk_tiles = pl.num_programs(2)
@@ -58,75 +85,55 @@ def _corr_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    theta = theta_ref[0]
-    phi = phi_ref[0]
-    s = jax.lax.dot_general(
-        theta,
-        phi,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [TQ, TK]
-
-    # mask padded key columns (static shapes: nk_valid known at trace time)
-    base = k * tk
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
-    s = jnp.where(col < nk_valid, s, _NEG_INF)
+    s, _ = _scores(theta_ref, phi_ref, k, tk, nk_valid)
 
     m_prev = m_scr[:]
-    m_tile = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_tile)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     scale = jnp.exp((m_prev - m_new) * inv_temperature)
     p = jnp.exp((s - m_new) * inv_temperature)  # [TQ, TK]
-
     l_scr[:] = l_scr[:] * scale + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
+    acc_scr[:] = acc_scr[:] * scale + jax.lax.dot_general(
         p,
         values_ref[0].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [TQ, V]
-    acc_scr[:] = acc_scr[:] * scale + pv
+    )
     m_scr[:] = m_new
 
     @pl.when(k == nk_tiles - 1)
     def _():
         out_ref[0] = (acc_scr[:] / l_scr[:]).astype(out_ref.dtype)
-        sim_ref[0] = m_scr[:, 0].astype(sim_ref.dtype)
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
+        sim_ref[0] = m_scr[:].astype(sim_ref.dtype)
+        if emit_l:
+            l_ref[0] = l_scr[:]
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("temperature", "tq", "tk", "interpret"),
+    jax.jit, static_argnames=("temperature", "tq", "tk", "interpret", "emit_l")
 )
-def _corr_pallas(theta, phi, values, temperature, tq, tk, interpret):
+def _corr_pallas_fwd(theta, phi, values, temperature, tq, tk, interpret,
+                     emit_l=True):
     b, nq, c = theta.shape
     _, nk, v = values.shape
-
     tq = min(tq, _round_up(nq, 128))
     tk = min(tk, _round_up(nk, 128))
     nq_pad = _round_up(nq, tq)
     nk_pad = _round_up(nk, tk)
-
     if nq_pad != nq:
         theta = jnp.pad(theta, ((0, 0), (0, nq_pad - nq), (0, 0)))
     if nk_pad != nk:
         phi = jnp.pad(phi, ((0, 0), (0, nk_pad - nk), (0, 0)))
         values = jnp.pad(values, ((0, 0), (0, nk_pad - nk), (0, 0)))
-
     grid = (b, nq_pad // tq, nk_pad // tk)
 
     kernel = functools.partial(
-        _corr_kernel,
+        _corr_fwd_kernel,
         inv_temperature=float(1.0 / temperature),
         nk_valid=nk,
         tk=tk,
+        emit_l=emit_l,
     )
-
-    out, sim = pl.pallas_call(
+    out, sim, l = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -136,11 +143,13 @@ def _corr_pallas(theta, phi, values, temperature, tq, tk, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, tq, values.shape[-1]), lambda b, q, k: (b, q, 0)),
-            pl.BlockSpec((1, tq), lambda b, q, k: (b, q)),
+            pl.BlockSpec((1, tq, 1), lambda b, q, k: (b, q, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, q, k: (b, q, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, nq_pad, v), theta.dtype),
-            jax.ShapeDtypeStruct((b, nq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, nq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, nq_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((tq, 1), jnp.float32),
@@ -157,8 +166,224 @@ def _corr_pallas(theta, phi, values, temperature, tq, tk, interpret):
         ),
         interpret=interpret,
     )(theta, phi, values)
+    return out, sim, l
 
-    return out[:, :nq, :], sim[:, :nq, None]
+
+# -------------------------------------------------------------- backward
+def _grad_tile(theta_ref, phi_ref, values_ref, m_ref, l_ref, dout_ref,
+               dsim_ref, dd_ref, k_tile_idx, tk, nk_valid, inv_temperature):
+    """Shared tile math for both backward kernels.
+
+    Returns (attn [TQ,TK], df [TQ,TK]) where df is the cotangent of the raw
+    scores f: attn * (dout.V^T - D) / T + dsim * 1[f == m].
+    """
+    s, valid = _scores(theta_ref, phi_ref, k_tile_idx, tk, nk_valid)
+    m = m_ref[0]  # [TQ, 1]
+    l = l_ref[0]  # [TQ, 1]
+    attn = jnp.exp((s - m) * inv_temperature) / l
+    dps = jax.lax.dot_general(
+        dout_ref[0].astype(jnp.float32),
+        values_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TQ, TK]
+    df = attn * (dps - dd_ref[0]) * inv_temperature
+    df = df + jnp.where((s == m) & valid, dsim_ref[0], 0.0)
+    return attn, df
+
+
+def _corr_dq_kernel(
+    theta_ref, phi_ref, values_ref, m_ref, l_ref, dout_ref, dsim_ref, dd_ref,
+    dtheta_ref,
+    acc_scr,
+    *, inv_temperature, nk_valid, tk,
+):
+    k = pl.program_id(2)
+    nk_tiles = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    _attn, df = _grad_tile(theta_ref, phi_ref, values_ref, m_ref, l_ref,
+                           dout_ref, dsim_ref, dd_ref, k, tk, nk_valid,
+                           inv_temperature)
+    acc_scr[:] += jax.lax.dot_general(
+        df,
+        phi_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk_tiles - 1)
+    def _():
+        dtheta_ref[0] = acc_scr[:].astype(dtheta_ref.dtype)
+
+
+def _corr_dkv_kernel(
+    theta_ref, phi_ref, values_ref, m_ref, l_ref, dout_ref, dsim_ref, dd_ref,
+    dphi_ref, dvalues_ref,
+    dphi_scr, dv_scr,
+    *, inv_temperature, nk_valid, tk,
+):
+    q = pl.program_id(2)
+    nq_tiles = pl.num_programs(2)
+
+    @pl.when(q == 0)
+    def _():
+        dphi_scr[:] = jnp.zeros_like(dphi_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    kk = pl.program_id(1)
+    attn, df = _grad_tile(theta_ref, phi_ref, values_ref, m_ref, l_ref,
+                          dout_ref, dsim_ref, dd_ref, kk, tk, nk_valid,
+                          inv_temperature)
+    dphi_scr[:] += jax.lax.dot_general(
+        df,
+        theta_ref[0].astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TK, C]
+    dv_scr[:] += jax.lax.dot_general(
+        attn,
+        dout_ref[0].astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [TK, V]
+
+    @pl.when(q == nq_tiles - 1)
+    def _():
+        dphi_ref[0] = dphi_scr[:].astype(dphi_ref.dtype)
+        dvalues_ref[0] = dv_scr[:].astype(dvalues_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("temperature", "tq", "tk", "interpret")
+)
+def _corr_pallas_bwd(
+    theta, phi, values, sim, l, out, d_out, d_sim,
+    temperature, tq, tk, interpret
+):
+    b, nq, c = theta.shape
+    _, nk, v = values.shape
+    tq = min(tq, _round_up(nq, 128))
+    tk = min(tk, _round_up(nk, 128))
+    nq_pad = _round_up(nq, tq)
+    nk_pad = _round_up(nk, tk)
+
+    if nq_pad != nq:
+        padq3 = ((0, 0), (0, nq_pad - nq), (0, 0))
+        theta = jnp.pad(theta, padq3)
+        d_out = jnp.pad(d_out, padq3)
+        out = jnp.pad(out, padq3)
+        sim = jnp.pad(sim, padq3)
+        l = jnp.pad(l, padq3, constant_values=1.0)
+        d_sim = jnp.pad(d_sim, padq3)
+    if nk_pad != nk:
+        padk3 = ((0, 0), (0, nk_pad - nk), (0, 0))
+        phi = jnp.pad(phi, padk3)
+        values = jnp.pad(values, padk3)
+
+    inv_t = float(1.0 / temperature)
+    # flash-attention delta trick: D_i = rowsum_k(attn_ik * (dout_i . V_k))
+    #                                  = dout_i . out_i (out is a primal)
+    dd = jnp.sum(
+        d_out.astype(jnp.float32) * out.astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # [B, nq_pad, 1]
+
+    kernel_dq = functools.partial(
+        _corr_dq_kernel, inv_temperature=inv_t, nk_valid=nk, tk=tk,
+    )
+    dtheta = pl.pallas_call(
+        kernel_dq,
+        grid=(b, nq_pad // tq, nk_pad // tk),
+        in_specs=[
+            pl.BlockSpec((1, tq, c), lambda b, q, k: (b, q, 0)),
+            pl.BlockSpec((1, tk, c), lambda b, q, k: (b, k, 0)),
+            pl.BlockSpec((1, tk, v), lambda b, q, k: (b, k, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, q, k: (b, q, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, q, k: (b, q, 0)),
+            pl.BlockSpec((1, tq, v), lambda b, q, k: (b, q, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, q, k: (b, q, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, q, k: (b, q, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tq, c), lambda b, q, k: (b, q, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, c), theta.dtype),
+        scratch_shapes=[pltpu.VMEM((tq, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(theta, phi, values, sim, l, d_out, d_sim, dd)
+
+    kernel_dkv = functools.partial(
+        _corr_dkv_kernel, inv_temperature=inv_t, nk_valid=nk, tk=tk,
+    )
+    dphi, dvalues = pl.pallas_call(
+        kernel_dkv,
+        grid=(b, nk_pad // tk, nq_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, c), lambda b, k, q: (b, q, 0)),
+            pl.BlockSpec((1, tk, c), lambda b, k, q: (b, k, 0)),
+            pl.BlockSpec((1, tk, v), lambda b, k, q: (b, k, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, k, q: (b, q, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, k, q: (b, q, 0)),
+            pl.BlockSpec((1, tq, v), lambda b, k, q: (b, q, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, k, q: (b, q, 0)),
+            pl.BlockSpec((1, tq, 1), lambda b, k, q: (b, q, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tk, c), lambda b, k, q: (b, k, 0)),
+            pl.BlockSpec((1, tk, v), lambda b, k, q: (b, k, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nk_pad, c), phi.dtype),
+            jax.ShapeDtypeStruct((b, nk_pad, v), values.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tk, c), jnp.float32),
+            pltpu.VMEM((tk, v), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(theta, phi, values, sim, l, d_out, d_sim, dd)
+
+    return dtheta[:, :nq], dphi[:, :nk], dvalues[:, :nk]
+
+
+# ------------------------------------------------------------ public API
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _corr_pallas_diff(theta, phi, values, temperature, tq, tk, interpret):
+    out, sim, _l = _corr_pallas_fwd(theta, phi, values, temperature, tq, tk,
+                                    interpret)
+    nq = theta.shape[1]
+    return out[:, :nq], sim[:, :nq]
+
+
+def _corr_pallas_diff_fwd(theta, phi, values, temperature, tq, tk, interpret):
+    out_pad, sim_pad, l_pad = _corr_pallas_fwd(
+        theta, phi, values, temperature, tq, tk, interpret
+    )
+    nq = theta.shape[1]
+    primal = (out_pad[:, :nq], sim_pad[:, :nq])
+    residuals = (theta, phi, values, sim_pad[:, :nq], l_pad[:, :nq],
+                 out_pad[:, :nq])
+    return primal, residuals
+
+
+def _corr_pallas_diff_bwd(temperature, tq, tk, interpret, residuals, grads):
+    theta, phi, values, sim, l, out = residuals
+    d_out, d_sim = grads
+    return _corr_pallas_bwd(
+        theta, phi, values, sim, l, out, d_out, d_sim,
+        temperature, tq, tk, interpret,
+    )
+
+
+_corr_pallas_diff.defvjp(_corr_pallas_diff_fwd, _corr_pallas_diff_bwd)
 
 
 def correspondence_warp_pallas(
@@ -170,17 +395,23 @@ def correspondence_warp_pallas(
     tq: int = DEFAULT_TQ,
     tk: int = DEFAULT_TK,
     interpret: bool = False,
+    differentiable: bool = False,
 ):
     """Fused correspondence warp. Same contract as correspondence_warp_einsum.
 
-    WTA scaling (train-only, off by default in the reference train loop) is
-    not fused; callers needing it use the einsum path.
+    With differentiable=True a custom flash-style VJP is attached (see module
+    docstring). WTA scaling (train-only, off by default in the reference
+    train loop) is not fused; callers needing it use the einsum path.
     """
     if wta_scale_weight != 1.0:
         raise NotImplementedError(
             "WTA scaling is not fused; use the einsum path (it is train-only "
             "and off by default in the reference)."
         )
-    return _corr_pallas(
-        theta, phi, values, float(temperature), int(tq), int(tk), bool(interpret)
-    )
+    args = (theta, phi, values, float(temperature), int(tq), int(tk),
+            bool(interpret))
+    if differentiable:
+        return _corr_pallas_diff(*args)
+    out, sim, _ = _corr_pallas_fwd(*args, emit_l=False)
+    nq = theta.shape[1]
+    return out[:, :nq], sim[:, :nq]

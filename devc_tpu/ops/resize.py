@@ -10,14 +10,10 @@ directly. Wrong resize semantics silently cost PSNR (SURVEY.md §7).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax import lax
-
-
 import numpy as np
+from jax import lax
 
 
 def _interp_matrix_np(in_size: int, out_size: int, align_corners: bool):

@@ -10,8 +10,6 @@ All tensors are NHWC network-Lab (L centered by -50).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
@@ -59,6 +57,7 @@ def warp_color(
     temperature: float = 0.01,
     use_pallas: bool | None = None,
     ref_embedding=None,
+    differentiable: bool = False,
 ):
     """Warp exemplar color onto the gray frame (reference FrameColor.py:5-38).
 
@@ -88,7 +87,7 @@ def warp_color(
         warped_lab, similarity = warp_with_keys(
             params["warpnet"], theta, phi, values, hw,
             temperature=temperature, use_pallas=use_pallas,
-            out_dtype=a_l.dtype,
+            out_dtype=a_l.dtype, differentiable=differentiable,
         )
     else:
         b_n = tuple(
@@ -102,6 +101,7 @@ def warp_color(
             b_n,
             temperature=temperature,
             use_pallas=use_pallas,
+            differentiable=differentiable,
         )
     return warped_lab, similarity, feats_a
 
@@ -141,6 +141,7 @@ def frame_colorization(
     warped_lab, similarity, feats_a = warp_color(
         params, a_l, b_lab, features_b, temperature=temperature,
         use_pallas=use_pallas, ref_embedding=ref_embedding,
+        differentiable=joint_training,
     )
     if not joint_training:
         warped_lab = jax.lax.stop_gradient(warped_lab)

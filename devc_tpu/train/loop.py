@@ -69,7 +69,7 @@ def _two_frame_unroll(params, batch, features_b, key, cfg: TrainConfig):
         luminance_noise=cfg.luminance_noise,
         noise_key=k1,
         joint_training=True,
-        use_pallas=cfg.use_pallas or None if cfg.use_pallas else False,
+        use_pallas=cfg.use_pallas,
     )
     last_lab_pred = jnp.concatenate(
         [batch["last_lab"][..., 0:1], last_ab], axis=-1
@@ -84,7 +84,7 @@ def _two_frame_unroll(params, batch, features_b, key, cfg: TrainConfig):
         luminance_noise=cfg.luminance_noise,
         noise_key=k2,
         joint_training=True,
-        use_pallas=cfg.use_pallas or None if cfg.use_pallas else False,
+        use_pallas=cfg.use_pallas,
     )
     return cur_ab, last_ab, cur_nonlocal, last_nonlocal
 

@@ -32,3 +32,9 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+# Persistent XLA compilation cache: the CPU backend serializes executables,
+# so repeated suite runs skip the (single-core, minutes-long) compiles.
+from devc_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
