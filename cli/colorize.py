@@ -73,12 +73,14 @@ def main(argv=None):
                    help="force a JAX backend (this image pins 'axon')")
     args = p.parse_args(argv)
 
+    # the net runs at (H/2, W/2); its H must divide by 8 (the feature pyramid
+    # replicate-pads the mod-16==8 case in H only, reference
+    # NonlocalNet.py:461-463) and its W by 16 — so input H % 16, W % 32.
     h, w = args.image_size
-    if h % 32 or w % 32:
+    if h % 16 or w % 32:
         p.error(
-            f"--image_size {h} {w}: both sides must be multiples of 32 "
-            "(the network halves the input and builds a 4-level feature "
-            "pyramid; the reference default is 432 768)"
+            f"--image_size {h} {w}: H must be a multiple of 16 and W a "
+            "multiple of 32 (the reference default is 432 768)"
         )
     if not os.path.isdir(args.clip_path):
         p.error(f"--clip_path {args.clip_path}: not a directory")

@@ -151,7 +151,15 @@ def main(argv=None):
         print(f"resumed at step {int(state.step)}")
 
     # ---- mesh + jit ----
-    mesh = make_mesh(n_model=args.n_model)
+    # the data axis must divide the batch; use the largest divisor that fits
+    avail = max(1, len(jax.devices()) // args.n_model)
+    n_data = 1
+    for d in range(min(avail, args.batch_size), 0, -1):
+        if args.batch_size % d == 0:
+            n_data = d
+            break
+    mesh = make_mesh(n_data=n_data, n_model=args.n_model)
+    print(f"mesh: data={n_data}, model={args.n_model}")
     state = shard_params(mesh, state)
     vgg_params = shard_params(mesh, vgg_params)
 
@@ -202,7 +210,8 @@ def main(argv=None):
                 })
             ckpt.save(step, state)
 
-    ckpt.save(int(state.step), state, force=True)
+    if ckpt.latest_step() != int(state.step):
+        ckpt.save(int(state.step), state, force=True)
     ckpt.wait()
     img_logger.close()
     logger.close()

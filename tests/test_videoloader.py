@@ -1,0 +1,102 @@
+"""Dataset tests against synthetic on-disk layouts mirroring the reference
+data roots (lib/videoloader.py directory contract)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from devc_tpu.data.flow import write_flo
+from devc_tpu.data.videoloader import (
+    ImageNetPairsDataset,
+    PrefetchLoader,
+    VideoPairsDataset,
+)
+
+
+@pytest.fixture
+def video_root(tmp_path):
+    rng = np.random.RandomState(0)
+    clip = tmp_path / "clip01"
+    for sub in ("input_pad", "reference", "reference_gt", "flow", "mask"):
+        (clip / sub).mkdir(parents=True)
+
+    def save(relpath, arr):
+        Image.fromarray(arr).save(clip / relpath)
+
+    h, w = 80, 96
+    for name in ("f1", "f2"):
+        save(f"input_pad/{name}.jpg", (rng.rand(h, w, 3) * 255).astype(np.uint8))
+    for i in range(1, 6):
+        save(f"reference/r{i}.JPEG", (rng.rand(60, 90, 3) * 255).astype(np.uint8))
+    for i in range(1, 4):
+        save(f"reference_gt/g{i}.jpg", (rng.rand(h, w, 3) * 255).astype(np.uint8))
+    write_flo(str(clip / "flow" / "f1_forward.flo"),
+              rng.randn(h, w, 2).astype(np.float32))
+    write_flo(str(clip / "flow" / "f1_backward.flo"),
+              rng.randn(h, w, 2).astype(np.float32))
+    mask = (rng.rand(h, w) * 255).astype(np.uint8)
+    Image.fromarray(mask).save(clip / "mask" / "f1_mask.pgm")
+
+    # 12-field pairs line (reference lib/videoloader.py:113-131)
+    line = "f1.jpg f2.jpg rv.jpg rv1.jpg r1.J r2.J r3.J r4.J r5.J g1.j g2.j g3.j"
+    (clip / "pairs_output_new.txt").write_text(line + "\n")
+    return tmp_path
+
+
+def test_video_pairs_dataset(video_root):
+    ds = VideoPairsDataset(str(video_root), image_size=(64, 64),
+                           real_reference_probability=0.5)
+    assert len(ds) == 1
+    for seed in range(3):
+        item = ds.get(0, np.random.RandomState(seed))
+        assert item["last_lab"].shape == (64, 64, 3)
+        assert item["current_lab"].shape == (64, 64, 3)
+        assert item["ref_lab"].shape == (64, 64, 3)
+        assert item["flow_forward"].shape == (64, 64, 2)
+        assert item["mask"].shape == (64, 64, 1)
+        assert set(np.unique(item["mask"])) <= {0.0, 1.0}
+        assert item["self_ref_flag"].shape == (1,)
+        # Lab sanity: centered L in [-50, 50]
+        assert abs(item["current_lab"][..., 0]).max() <= 50.01
+
+
+def test_prefetch_loader_batches(video_root):
+    ds = VideoPairsDataset(str(video_root), image_size=(64, 64))
+    loader = PrefetchLoader([ds], batch_size=2, steps=3, workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["current_lab"].shape == (2, 64, 64, 3)
+        assert b["self_ref_flag"].shape == (2, 1)
+
+
+def test_prefetch_loader_resamples_corrupt(video_root, tmp_path):
+    # corrupt one image: loader must resample instead of crashing
+    ds = VideoPairsDataset(str(video_root), image_size=(64, 64))
+    bad = video_root / "clip01" / "input_pad" / "f1.jpg"
+    bad.write_bytes(b"not a jpeg")
+
+    class FlakyDS:
+        def __len__(self):
+            return 2
+
+        def get(self, idx, rng):
+            if idx == 0:
+                raise IOError("corrupt")
+            return ds_items[0]
+
+    ds_items = [
+        dict(
+            last_lab=np.zeros((8, 8, 3), np.float32),
+            current_lab=np.zeros((8, 8, 3), np.float32),
+            ref_lab=np.zeros((8, 8, 3), np.float32),
+            flow_forward=np.zeros((8, 8, 2), np.float32),
+            flow_backward=np.zeros((8, 8, 2), np.float32),
+            mask=np.ones((8, 8, 1), np.float32),
+            placeholder_lab=np.zeros((8, 8, 3), np.float32),
+            self_ref_flag=np.ones((1,), np.float32),
+        )
+    ]
+    loader = PrefetchLoader([FlakyDS()], batch_size=2, steps=2, workers=1)
+    batches = list(loader)
+    assert len(batches) == 2
