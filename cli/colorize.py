@@ -67,6 +67,9 @@ def main(argv=None):
                    help="run weights/activations in bfloat16")
     p.add_argument("--no_pallas", action="store_true",
                    help="force the einsum correspondence path")
+    p.add_argument("--serial_refs", action="store_true",
+                   help="process reference images one at a time (the "
+                        "reference behavior) instead of batched on device")
     p.add_argument("--no_video", action="store_true")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu", "axon"],
@@ -105,6 +108,35 @@ def main(argv=None):
         refs = [os.path.join(args.ref_path, r) for r in refs]
     else:
         refs = [args.ref_path]
+
+    if len(refs) > 1 and not args.serial_refs and not args.frame_propagate:
+        from devc_tpu.pipeline.video import colorize_video_multi
+
+        out_dirs = [
+            os.path.join(
+                args.output_path,
+                f"{clip_name}_{os.path.splitext(os.path.basename(r))[0]}",
+            )
+            for r in refs
+        ]
+        print(f"colorizing {args.clip_path} against {len(refs)} exemplars "
+              f"(batched) -> {args.output_path}")
+        t0 = time.time()
+        written = colorize_video_multi(
+            params,
+            args.clip_path,
+            refs,
+            out_dirs,
+            image_size=tuple(args.image_size),
+            temperature=args.temperature,
+            wls=not args.no_wls,
+            use_pallas=False if args.no_pallas else None,
+            write_video=not args.no_video,
+        )
+        dt = time.time() - t0
+        n = sum(len(w) for w in written)
+        print(f"  {n} frames in {dt:.1f}s ({n / dt:.2f} fps incl. compile)")
+        return
 
     for ref in refs:
         ref_id = os.path.splitext(os.path.basename(ref))[0]

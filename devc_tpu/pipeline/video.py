@@ -87,6 +87,78 @@ def _device_frame_step(
     return rgb_u8_out, new_last
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "wls", "lambda_value", "sigma_color", "use_pallas"),
+)
+def _device_frame_step_multi(
+    params,
+    rgb_u8,
+    last_lab,        # [R, h, w, 3]
+    ref_lab_small,   # [R, h, w, 3] (unused; kept for API symmetry)
+    ref_state,       # batched over R
+    temperature: float = 1e-10,
+    wls: bool = True,
+    lambda_value: float = 500.0,
+    sigma_color: float = 4.0,
+    use_pallas: bool | None = None,
+):
+    """One frame against R exemplars at once.
+
+    The reference colorizes against multiple exemplars by re-running the
+    whole pipeline per exemplar (test.py:168-178). Here the frame's VGG
+    features and query embedding are computed ONCE and broadcast; only the
+    correspondence + generator are R-batched.
+    Returns (rgb_out_u8 [R, H, W, 3], new_last [R, h, w, 3]).
+    """
+    from devc_tpu.models.colorvidnet import colorvidnet_apply
+    from devc_tpu.models.vgg19 import vgg19_extract
+    from devc_tpu.models.warpnet import embed_queries, warp_with_keys
+    from devc_tpu.pipeline.frame import FEATURE_TAPS
+
+    r = last_lab.shape[0]
+    lab_large, lab_small = _preprocess_device(rgb_u8)
+    a_l = lab_small[..., 0:1]
+
+    a_rgb = cs.gray_to_rgb(a_l)
+    feats_a = vgg19_extract(params["vgg"], a_rgb, FEATURE_TAPS)
+    a_n = tuple(cs.feature_normalize(f) for f in feats_a[1:])
+    hw = (a_l.shape[1], a_l.shape[2])
+    theta = embed_queries(params["warpnet"], a_n, hw)  # [1, N, C]
+    theta_r = jnp.broadcast_to(theta, (r,) + theta.shape[1:])
+
+    warped_lab, similarity = warp_with_keys(
+        params["warpnet"], theta_r, ref_state["phi"], ref_state["values"],
+        hw, temperature=temperature, use_pallas=use_pallas,
+    )
+
+    a_l_r = jnp.broadcast_to(a_l, (r,) + a_l.shape[1:])
+    color_input = jnp.concatenate(
+        [a_l_r, warped_lab[..., 1:3], similarity, last_lab], axis=-1
+    )
+    pred_ab = colorvidnet_apply(params["colorvid"], color_input)  # [R,h,w,2]
+    new_last = jnp.concatenate([a_l_r, pred_ab], axis=-1)
+
+    h, w = rgb_u8.shape[0], rgb_u8.shape[1]
+    ab_up = resize_bilinear(pred_ab, (h, w)) * 1.25
+    l_large = lab_large[..., 0:1]
+    if wls:
+        guide = cs.uncenter_l(l_large[0, ..., 0]) * 255.0 / 100.0
+        smooth = jax.vmap(
+            lambda x: fast_global_smoother(
+                x, guide, lam=lambda_value, sigma_color=sigma_color
+            )
+        )
+        ab_up = smooth(ab_up)
+    l_large_r = jnp.broadcast_to(l_large, (r,) + l_large.shape[1:])
+    out_lab = jnp.concatenate([l_large_r, ab_up], axis=-1)
+    rgb_out = cs.lab_centered_to_rgb(out_lab)
+    return (
+        jnp.clip(jnp.round(rgb_out * 255.0), 0, 255).astype(jnp.uint8),
+        new_last,
+    )
+
+
 @jax.jit
 def _device_ref_features(params, ref_rgb_u8):
     """Exemplar prep, once per clip (reference test.py:57-66): VGG features
@@ -94,6 +166,107 @@ def _device_ref_features(params, ref_rgb_u8):
     _, ref_lab_small = _preprocess_device(ref_rgb_u8)
     ref_state = prepare_reference(params, ref_lab_small)
     return ref_lab_small, ref_state
+
+
+@jax.jit
+def _device_ref_features_multi(params, refs_rgb_u8):
+    """Exemplar prep for R stacked references [R, H, W, 3]."""
+    rgb = refs_rgb_u8.astype(jnp.float32) / 255.0
+    lab_large = cs.center_lab(cs.rgb_to_lab(rgb))
+    h, w = refs_rgb_u8.shape[1], refs_rgb_u8.shape[2]
+    ref_lab_small = resize_bilinear(lab_large, (h // 2, w // 2))
+    ref_state = prepare_reference(params, ref_lab_small)
+    return ref_lab_small, ref_state
+
+
+def colorize_video_multi(
+    params,
+    clip_dir: str,
+    ref_paths,
+    output_dirs,
+    image_size=(432, 768),
+    temperature: float = 1e-10,
+    wls: bool = True,
+    lambda_value: float = 500.0,
+    sigma_color: float = 4.0,
+    use_pallas: bool | None = None,
+    write_video: bool = True,
+    prefetch: int = 4,
+):
+    """Colorize one clip against R exemplars in a single pass.
+
+    Decodes each frame once and batches the exemplar dimension on device
+    (the reference re-runs the whole pipeline per exemplar). Returns a list
+    of per-reference lists of written frame paths.
+    """
+    assert len(ref_paths) == len(output_dirs) and ref_paths
+    r = len(ref_paths)
+    for d in output_dirs:
+        os.makedirs(d, exist_ok=True)
+    names = list_clip_frames(clip_dir)
+    if not names:
+        raise ValueError(f"no frames found in {clip_dir}")
+
+    refs = np.stack([load_frame_rgb(p, image_size) for p in ref_paths])
+    ref_lab_small, ref_state = _device_ref_features_multi(
+        params, jnp.asarray(refs)
+    )
+    h2, w2 = image_size[0] // 2, image_size[1] // 2
+    last_lab = jnp.zeros((r, h2, w2, 3), jnp.float32)
+
+    frame_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+
+    def reader():
+        for name in names:
+            frame_q.put(load_frame_rgb(os.path.join(clip_dir, name), image_size))
+        frame_q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+
+    write_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    written = [[] for _ in range(r)]
+
+    def writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            idx, arr = item  # arr: [R, H, W, 3]
+            for ri in range(r):
+                path = os.path.join(output_dirs[ri], f"{idx:05d}.jpg")
+                Image.fromarray(arr[ri]).save(path, quality=95)
+                written[ri].append(path)
+
+    wt = threading.Thread(target=writer, daemon=True)
+    wt.start()
+
+    idx = 0
+    while True:
+        rgb = frame_q.get()
+        if rgb is None:
+            break
+        rgb_out, last_lab = _device_frame_step_multi(
+            params,
+            jnp.asarray(rgb),
+            last_lab,
+            ref_lab_small,
+            ref_state,
+            temperature=temperature,
+            wls=wls,
+            lambda_value=lambda_value,
+            sigma_color=sigma_color,
+            use_pallas=use_pallas,
+        )
+        write_q.put((idx, np.asarray(rgb_out)))
+        idx += 1
+
+    write_q.put(None)
+    wt.join()
+
+    if write_video:
+        for d in output_dirs:
+            folder_to_video(d, os.path.join(d, "video.avi"))
+    return [sorted(w) for w in written]
 
 
 def list_clip_frames(clip_dir: str):

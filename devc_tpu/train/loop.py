@@ -46,6 +46,7 @@ class TrainConfig(NamedTuple):
     domain_invariant: bool = False
     contextual_direction: str = "forward"
     use_pallas: bool = False
+    remat: bool = True  # recompute forwards in backward (fits batch 16/chip)
 
 
 def _vgg_feats(vgg_params, lab):
@@ -59,32 +60,35 @@ def _vgg_feats(vgg_params, lab):
 def _two_frame_unroll(params, batch, features_b, key, cfg: TrainConfig):
     """reference train.py:400-428."""
     k1, k2 = jax.random.split(key)
-    last_ab, last_nonlocal, _, _ = frame_colorization(
-        params,
-        batch["last_lab"],
-        batch["ref_lab"],
-        batch["placeholder_lab"],
-        features_b,
-        temperature=cfg.temperature,
-        luminance_noise=cfg.luminance_noise,
-        noise_key=k1,
-        joint_training=True,
-        use_pallas=cfg.use_pallas,
+
+    def fc(params, a_lab, last_lab, noise_key):
+        pred_ab, warped, _sim, _feats = frame_colorization(
+            params,
+            a_lab,
+            batch["ref_lab"],
+            last_lab,
+            features_b,
+            temperature=cfg.temperature,
+            luminance_noise=cfg.luminance_noise,
+            noise_key=noise_key,
+            joint_training=True,
+            use_pallas=cfg.use_pallas,
+        )
+        return pred_ab, warped
+
+    if cfg.remat:
+        # recompute each frame's forward during the backward pass instead of
+        # keeping VGG/WarpNet/ColorVidNet activations for two full frames
+        fc = jax.checkpoint(fc)
+
+    last_ab, last_nonlocal = fc(
+        params, batch["last_lab"], batch["placeholder_lab"], k1
     )
     last_lab_pred = jnp.concatenate(
         [batch["last_lab"][..., 0:1], last_ab], axis=-1
     )
-    cur_ab, cur_nonlocal, _, _ = frame_colorization(
-        params,
-        batch["current_lab"],
-        batch["ref_lab"],
-        last_lab_pred,
-        features_b,
-        temperature=cfg.temperature,
-        luminance_noise=cfg.luminance_noise,
-        noise_key=k2,
-        joint_training=True,
-        use_pallas=cfg.use_pallas,
+    cur_ab, cur_nonlocal = fc(
+        params, batch["current_lab"], last_lab_pred, k2
     )
     return cur_ab, last_ab, cur_nonlocal, last_nonlocal
 
@@ -157,7 +161,10 @@ def train_step(
             [batch["current_lab"][..., 0:1], cur_ab], axis=-1
         )
 
-        pred_feats = _grad_vgg_feats(vgg_params, cur_lab_pred)
+        grad_vgg = (
+            jax.checkpoint(_grad_vgg_feats) if cfg.remat else _grad_vgg_feats
+        )
+        pred_feats = grad_vgg(vgg_params, cur_lab_pred)
         gt_feats = _vgg_feats(vgg_params, batch["current_lab"])
 
         metrics = {}

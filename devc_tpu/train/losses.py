@@ -103,10 +103,16 @@ def contextual_loss(
 
     d = 1.0 - jnp.einsum("bxc,byc->bxy", x, y,
                          preferred_element_type=jnp.float32)
+    # clamp: float error can push cosine similarity past 1, making d (and
+    # d_min) slightly negative; d_min + 1e-5 then approaches zero and the
+    # affinity exp overflows (a latent bug in the reference that TPU matmul
+    # precision exposes at larger batches)
+    d = jnp.maximum(d, 0.0)
     d_min = jnp.min(d, axis=-1, keepdims=True)
     d_norm = d / (d_min + 1e-5)
-    w = jnp.exp((1.0 - d_norm) / h)
-    a_ij = w / jnp.sum(w, axis=-1, keepdims=True)
+    # softmax form of w/sum(w) with w = exp((1-d_norm)/h): same value,
+    # immune to overflow via the row-max subtraction
+    a_ij = jax.nn.softmax((1.0 - d_norm) / h, axis=-1)
 
     if direction == "forward":
         cx = jnp.mean(jnp.max(a_ij, axis=-1), axis=1)

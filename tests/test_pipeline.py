@@ -158,3 +158,41 @@ def test_video_driver_end_to_end(params, tmp_path, rng):
     img = np.asarray(Image.open(written[0]))
     assert img.shape == (h, w, 3)
     assert img.std() > 1.0  # not a constant image
+
+
+def test_multi_ref_matches_serial(params, tmp_path, rng):
+    """Batched multi-exemplar colorization == per-exemplar serial runs."""
+    from PIL import Image
+
+    from devc_tpu.pipeline.video import colorize_video, colorize_video_multi
+
+    clip = tmp_path / "clip"
+    clip.mkdir()
+    h, w = 64, 128
+    for i in range(2):
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            clip / f"{i:03d}.jpg"
+        )
+    refs = []
+    for i in range(2):
+        p = tmp_path / f"ref{i}.jpg"
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(p)
+        refs.append(str(p))
+
+    multi_dirs = [str(tmp_path / f"multi{i}") for i in range(2)]
+    written_multi = colorize_video_multi(
+        params, str(clip), refs, multi_dirs, image_size=(h, w),
+        wls=False, write_video=False, use_pallas=False,
+    )
+    for i, ref in enumerate(refs):
+        serial = colorize_video(
+            params, str(clip), ref, str(tmp_path / f"serial{i}"),
+            image_size=(h, w), wls=False, write_video=False, use_pallas=False,
+        )
+        for pm, ps in zip(written_multi[i], serial):
+            a = np.asarray(Image.open(pm)).astype(int)
+            b = np.asarray(Image.open(ps)).astype(int)
+            # same pipeline, different batching/compilation: allow tiny
+            # uint8-level wobble
+            assert np.abs(a - b).mean() < 1.0
+            assert np.abs(a - b).max() <= 30
