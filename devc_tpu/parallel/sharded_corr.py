@@ -19,11 +19,7 @@ not needed at reference scale since keys fit comfortably per chip.
 
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from devc_tpu.ops.correspondence import correspondence_warp_einsum
