@@ -143,18 +143,22 @@ def main(argv=None):
         out_dir = os.path.join(args.output_path, f"{clip_name}_{ref_id}")
         print(f"colorizing {args.clip_path} with exemplar {ref} -> {out_dir}")
         t0 = time.time()
-        written = colorize_video(
-            params,
-            args.clip_path,
-            ref,
-            out_dir,
-            image_size=tuple(args.image_size),
-            temperature=args.temperature,
-            wls=not args.no_wls,
-            frame_propagate=args.frame_propagate,
-            use_pallas=False if args.no_pallas else None,
-            write_video=not args.no_video,
-        )
+        try:
+            written = colorize_video(
+                params,
+                args.clip_path,
+                ref,
+                out_dir,
+                image_size=tuple(args.image_size),
+                temperature=args.temperature,
+                wls=not args.no_wls,
+                frame_propagate=args.frame_propagate,
+                use_pallas=False if args.no_pallas else None,
+                write_video=not args.no_video,
+            )
+        except Exception as err:  # keep going per exemplar (reference
+            print(f"  error colorizing with {ref}: {err}")  # test.py:179-181)
+            continue
         dt = time.time() - t0
         n = len(written)
         print(f"  {n} frames in {dt:.1f}s ({n / dt:.2f} fps incl. compile)")

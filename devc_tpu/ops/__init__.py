@@ -17,4 +17,6 @@ from devc_tpu.ops.layers import (
 from devc_tpu.ops.correspondence import (
     correspondence_warp_einsum,
     correspondence_warp,
+    wta_scale,
 )
+from devc_tpu.ops.fgs import fast_global_smoother

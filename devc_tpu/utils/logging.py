@@ -79,6 +79,12 @@ class MetricsLogger:
             self._tb.add_image(tag, image_hwc_uint8, int(step),
                                dataformats="HWC")
 
+    def log_histogram(self, step: int, tag: str, values):
+        """Histogram logging (reference utils/util_tensorboard.py
+        histogram_logger)."""
+        if self._tb is not None:
+            self._tb.add_histogram(tag, np.asarray(values), int(step))
+
     def close(self):
         self._jsonl.close()
         if self._tb is not None:

@@ -61,3 +61,21 @@ def test_train_cli_two_steps(tmp_path):
     assert (ckpt_dir / "opt.txt").exists()
     steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
     assert steps, f"no checkpoint dirs in {os.listdir(ckpt_dir)}"
+
+    # ---- resume (reference --resume, train.py:322-333) ----
+    main([
+        "--data_root_imagenet", str(data_root),
+        "--batch_size", "2",
+        "--image_size", "64", "64",
+        "--max_steps", "2",
+        "--workers", "2",
+        "--checkpoint_dir", str(ckpt_dir),
+        "--checkpoint_step", "1",
+        "--log_dir", str(log_dir),
+        "--print_step", "1",
+        "--vgg_ckpt", "/nonexistent/forces-random-vgg.pth",
+        "--resume",
+    ])
+    lines = [json.loads(l) for l in open(metrics_file)]
+    max_step = max(l["step"] for l in lines)
+    assert max_step >= 3, f"resume did not continue past step 2 (max {max_step})"
