@@ -1,0 +1,133 @@
+"""Colorization service: params loaded once, programs kept warm, jobs
+submitted as JSON lines.
+
+  python -m cli.serve --random_init --image_size 432 768 [--platform cpu]
+
+Protocol (stdin -> stdout, one JSON object per line):
+
+  {"clip_path": "...", "ref_path": "...", "output_path": "...",
+   "frame_propagate": false, "wls": true}          # a job
+  {"cmd": "ping"}                                  # liveness probe
+  {"cmd": "shutdown"}                              # drain and exit
+
+Responses:
+  {"ok": true, "frames": N, "seconds": S, "fps": F, "outputs": [...]}
+  {"ok": false, "error": "..."}
+
+The startup warmup compiles the frame program for the configured size so
+the first real job runs at steady-state speed. A long-lived process is the
+intended deployment shape on TPU: compiles are minutes, steps are
+milliseconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image_size", type=int, nargs=2, default=[432, 768],
+                   metavar=("H", "W"))
+    p.add_argument("--temperature", type=float, default=1e-10)
+    p.add_argument("--vgg_ckpt", type=str, default="data/vgg19_conv.pth")
+    p.add_argument("--warpnet_ckpt", type=str,
+                   default="checkpoints/video_moredata_l1/nonlocal_net_iter_76000.pth")
+    p.add_argument("--colornet_ckpt", type=str,
+                   default="checkpoints/video_moredata_l1/colornet_iter_76000.pth")
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_warmup", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"])
+    args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from devc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cli.colorize import build_params
+    from devc_tpu.pipeline.video import (
+        _device_frame_step,
+        _device_ref_features,
+        colorize_video,
+    )
+
+    args.bf16 = False
+    params = build_params(args)
+    h, w = args.image_size
+
+    if not args.no_warmup:
+        t0 = time.time()
+        dummy = jnp.zeros((h, w, 3), jnp.uint8)
+        ref_lab_small, ref_state = _device_ref_features(params, dummy)
+        last = jnp.zeros((1, h // 2, w // 2, 3), jnp.float32)
+        out, _ = _device_frame_step(
+            params, dummy, last, ref_lab_small, ref_state,
+            temperature=args.temperature, wls=True,
+        )
+        jax.block_until_ready(out)
+        print(json.dumps({"ready": True,
+                          "warmup_seconds": round(time.time() - t0, 1)}),
+              flush=True)
+    else:
+        print(json.dumps({"ready": True, "warmup_seconds": 0.0}), flush=True)
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            job = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"ok": False, "error": f"bad json: {e}"}),
+                  flush=True)
+            continue
+        if job.get("cmd") == "shutdown":
+            print(json.dumps({"ok": True, "bye": True}), flush=True)
+            return
+        if job.get("cmd") == "ping":
+            print(json.dumps({"ok": True, "pong": True}), flush=True)
+            continue
+        try:
+            t0 = time.time()
+            written = colorize_video(
+                params,
+                job["clip_path"],
+                job["ref_path"],
+                job["output_path"],
+                image_size=(h, w),
+                temperature=args.temperature,
+                wls=bool(job.get("wls", True)),
+                frame_propagate=bool(job.get("frame_propagate", False)),
+                write_video=bool(job.get("write_video", False)),
+            )
+            dt = time.time() - t0
+            print(
+                json.dumps({
+                    "ok": True,
+                    "frames": len(written),
+                    "seconds": round(dt, 2),
+                    "fps": round(len(written) / dt, 2),
+                    "outputs": written[:3] + (["..."] if len(written) > 3 else []),
+                }),
+                flush=True,
+            )
+        except Exception as e:
+            print(json.dumps({"ok": False, "error": str(e)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Serving daemon smoke: warmup handshake, ping, one job, shutdown."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def test_serve_one_job(tmp_path):
+    h, w = 64, 128
+    clip = tmp_path / "clip"
+    clip.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            clip / f"{i:03d}.jpg"
+        )
+    ref = tmp_path / "ref.jpg"
+    Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(ref)
+    out_dir = tmp_path / "out"
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "cli.serve", "--random_init",
+         "--platform", "cpu", "--image_size", str(h), str(w)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert ready["ready"] is True
+
+        proc.stdin.write(json.dumps({"cmd": "ping"}) + "\n")
+        proc.stdin.flush()
+        assert json.loads(proc.stdout.readline())["pong"] is True
+
+        job = {"clip_path": str(clip), "ref_path": str(ref),
+               "output_path": str(out_dir)}
+        proc.stdin.write(json.dumps(job) + "\n")
+        proc.stdin.flush()
+        resp = json.loads(proc.stdout.readline())
+        assert resp["ok"] is True, resp
+        assert resp["frames"] == 2
+        assert (out_dir / "00000.jpg").exists()
+
+        # malformed input must not kill the server
+        proc.stdin.write("not json\n")
+        proc.stdin.flush()
+        assert json.loads(proc.stdout.readline())["ok"] is False
+
+        proc.stdin.write(json.dumps({"cmd": "shutdown"}) + "\n")
+        proc.stdin.flush()
+        assert json.loads(proc.stdout.readline())["bye"] is True
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
