@@ -46,11 +46,20 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _scores(theta_ref, phi_ref, k_tile_idx, tk, nk_valid):
-    """Correlation tile [TQ, TK] with padded key columns masked to -inf."""
+def _scores(theta_ref, phi_ref, k_tile_idx, tk, nk_valid, score_bf16=False):
+    """Correlation tile [TQ, TK] with padded key columns masked to -inf.
+
+    score_bf16 casts the embeddings to bfloat16 for the matmul (MXU-native
+    rate; fp32 accumulation) at ~1e-3 cosine-score noise — opt-in, since at
+    inference temperature the argmax may flip between near-tied matches.
+    """
+    th, ph = theta_ref[0], phi_ref[0]
+    if score_bf16:
+        th = th.astype(jnp.bfloat16)
+        ph = ph.astype(jnp.bfloat16)
     s = jax.lax.dot_general(
-        theta_ref[0],
-        phi_ref[0],
+        th,
+        ph,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -75,6 +84,7 @@ def _corr_fwd_kernel(
     nk_valid: int,
     tk: int,
     emit_l: bool,
+    score_bf16: bool = False,
 ):
     k = pl.program_id(2)
     nk_tiles = pl.num_programs(2)
@@ -85,7 +95,7 @@ def _corr_fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    s, _ = _scores(theta_ref, phi_ref, k, tk, nk_valid)
+    s, _ = _scores(theta_ref, phi_ref, k, tk, nk_valid, score_bf16)
 
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -109,10 +119,12 @@ def _corr_fwd_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("temperature", "tq", "tk", "interpret", "emit_l")
+    jax.jit,
+    static_argnames=("temperature", "tq", "tk", "interpret", "emit_l",
+                     "score_bf16"),
 )
 def _corr_pallas_fwd(theta, phi, values, temperature, tq, tk, interpret,
-                     emit_l=True):
+                     emit_l=True, score_bf16=False):
     b, nq, c = theta.shape
     _, nk, v = values.shape
     tq = min(tq, _round_up(nq, 128))
@@ -132,6 +144,7 @@ def _corr_pallas_fwd(theta, phi, values, temperature, tq, tk, interpret,
         nk_valid=nk,
         tk=tk,
         emit_l=emit_l,
+        score_bf16=score_bf16,
     )
     out, sim, l = pl.pallas_call(
         kernel,
@@ -396,12 +409,15 @@ def correspondence_warp_pallas(
     tk: int = DEFAULT_TK,
     interpret: bool = False,
     differentiable: bool = False,
+    score_bf16: bool = False,
 ):
     """Fused correspondence warp. Same contract as correspondence_warp_einsum.
 
     With differentiable=True a custom flash-style VJP is attached (see module
-    docstring). WTA scaling (train-only, off by default in the reference
-    train loop) is not fused; callers needing it use the einsum path.
+    docstring). score_bf16 runs the correlation matmul at the MXU's bf16
+    rate (forward-only; ~1e-3 score noise). WTA scaling (train-only, off by
+    default in the reference train loop) is not fused; callers needing it
+    use the einsum path.
     """
     if wta_scale_weight != 1.0:
         raise NotImplementedError(
@@ -411,7 +427,10 @@ def correspondence_warp_pallas(
     args = (theta, phi, values, float(temperature), int(tq), int(tk),
             bool(interpret))
     if differentiable:
+        if score_bf16:
+            raise NotImplementedError("score_bf16 is forward-only")
         return _corr_pallas_diff(*args)
-    out, sim, _ = _corr_pallas_fwd(*args, emit_l=False)
+    out, sim, _ = _corr_pallas_fwd(*args, emit_l=False,
+                                   score_bf16=bool(score_bf16))
     nq = theta.shape[1]
     return out[:, :nq], sim[:, :nq]

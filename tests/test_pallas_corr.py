@@ -47,3 +47,25 @@ def test_pallas_corr_hard_argmax_temperature():
 
 def test_pallas_corr_batched():
     _run(2, 128, 256, 32, 3, temperature=0.01)
+
+
+def test_pallas_corr_bf16_scores_close():
+    rng = np.random.RandomState(0)
+    b, nq, nk, c, v = 1, 128, 256, 64, 3
+    theta = rng.randn(b, nq, c).astype(np.float32)
+    theta /= np.linalg.norm(theta, axis=-1, keepdims=True)
+    phi = rng.randn(b, nk, c).astype(np.float32)
+    phi /= np.linalg.norm(phi, axis=-1, keepdims=True)
+    values = (rng.rand(b, nk, v).astype(np.float32) - 0.5) * 200
+
+    w32, s32 = correspondence_warp_pallas(
+        jnp.array(theta), jnp.array(phi), jnp.array(values), 0.05,
+        interpret=True)
+    w16, s16 = correspondence_warp_pallas(
+        jnp.array(theta), jnp.array(phi), jnp.array(values), 0.05,
+        interpret=True, score_bf16=True)
+    # bf16 scores: ~1e-2 similarity noise, warped colors stay close at a
+    # smooth temperature
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(w16), np.asarray(w32), atol=8.0)
+    assert np.abs(np.asarray(w16) - np.asarray(w32)).mean() < 1.0
