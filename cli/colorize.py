@@ -71,6 +71,12 @@ def main(argv=None):
                    help="process reference images one at a time (the "
                         "reference behavior) instead of batched on device")
     p.add_argument("--no_video", action="store_true")
+    p.add_argument("--mode", type=str, default="stream",
+                   choices=["stream", "scan"],
+                   help="stream: one program per frame; scan: chunks of "
+                        "frames as one lax.scan program")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="frames per scan program (mode=scan)")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu", "axon"],
                    help="force a JAX backend (this image pins 'axon')")
@@ -155,6 +161,8 @@ def main(argv=None):
                 frame_propagate=args.frame_propagate,
                 use_pallas=False if args.no_pallas else None,
                 write_video=not args.no_video,
+                mode=args.mode,
+                chunk=args.chunk,
             )
         except Exception as err:  # keep going per exemplar (reference
             print(f"  error colorizing with {ref}: {err}")  # test.py:179-181)

@@ -38,29 +38,25 @@ def _preprocess_device(rgb_u8):
     return lab_large, lab_small
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("temperature", "wls", "lambda_value", "sigma_color", "use_pallas"),
-)
-def _device_frame_step(
+def _frame_body(
     params,
     rgb_u8,
     last_lab,
-    ref_lab_small,
     ref_state,
-    temperature: float = 1e-10,
-    wls: bool = True,
-    lambda_value: float = 500.0,
-    sigma_color: float = 4.0,
-    use_pallas: bool | None = None,
+    temperature: float,
+    wls: bool,
+    lambda_value: float,
+    sigma_color: float,
+    use_pallas: bool | None,
 ):
-    """One frame, fully on device. Returns (rgb_out_u8, new_last_lab)."""
+    """The whole per-frame device computation (shared by the jitted
+    per-frame step and the whole-clip scan)."""
     lab_large, lab_small = _preprocess_device(rgb_u8)
 
     pred_ab, _warped, _sim, _ = frame_colorization(
         params,
         lab_small,
-        ref_lab_small,
+        None,  # exemplar Lab unused when ref_embedding is given
         last_lab,
         ref_state["features"],
         temperature=temperature,
@@ -85,6 +81,60 @@ def _device_frame_step(
     rgb_out = cs.lab_centered_to_rgb(out_lab)[0]
     rgb_u8_out = jnp.clip(jnp.round(rgb_out * 255.0), 0, 255).astype(jnp.uint8)
     return rgb_u8_out, new_last
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "wls", "lambda_value", "sigma_color", "use_pallas"),
+)
+def _device_frame_step(
+    params,
+    rgb_u8,
+    last_lab,
+    ref_lab_small,
+    ref_state,
+    temperature: float = 1e-10,
+    wls: bool = True,
+    lambda_value: float = 500.0,
+    sigma_color: float = 4.0,
+    use_pallas: bool | None = None,
+):
+    """One frame, fully on device. Returns (rgb_out_u8, new_last_lab)."""
+    return _frame_body(params, rgb_u8, last_lab, ref_state, temperature,
+                       wls, lambda_value, sigma_color, use_pallas)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "wls", "lambda_value", "sigma_color", "use_pallas"),
+)
+def _device_chunk_scan(
+    params,
+    frames_u8,  # [K, H, W, 3]
+    last_lab,
+    ref_state,
+    temperature: float = 1e-10,
+    wls: bool = True,
+    lambda_value: float = 500.0,
+    sigma_color: float = 4.0,
+    use_pallas: bool | None = None,
+):
+    """K frames as one lax.scan program (zero per-frame dispatch).
+
+    The recurrent carry crosses chunk boundaries, so a long clip is a loop
+    of identical chunk programs (one compile per (K, H, W)).
+    Returns (rgb_out_u8 [K, H, W, 3], new_last_lab).
+    """
+
+    def step(last, rgb_u8):
+        out, new_last = _frame_body(
+            params, rgb_u8, last, ref_state, temperature,
+            wls, lambda_value, sigma_color, use_pallas,
+        )
+        return new_last, out
+
+    new_last, outs = jax.lax.scan(step, last_lab, frames_u8)
+    return outs, new_last
 
 
 @functools.partial(
@@ -311,6 +361,8 @@ def colorize_video(
     use_pallas: bool | None = None,
     write_video: bool = True,
     prefetch: int = 4,
+    mode: str = "stream",
+    chunk: int = 16,
 ):
     """Colorize every frame of clip_dir with the exemplar at ref_path.
 
@@ -318,6 +370,11 @@ def colorize_video(
     processed in numeric order at image_size (network runs at half that),
     recurrent conditioning on the previous prediction, JPEG frames written
     as 00000.jpg... plus an optional video.avi.
+
+    mode="stream": one jitted program per frame, decode/encode overlapped
+    in host threads (low latency, unbounded clips).
+    mode="scan": frames processed `chunk` at a time as one lax.scan program
+    (zero per-frame dispatch; the carry crosses chunk boundaries).
 
     Returns the list of written frame paths.
     """
@@ -364,24 +421,56 @@ def colorize_video(
     wt.start()
 
     idx = 0
-    while True:
-        rgb = frame_q.get()
-        if rgb is None:
-            break
-        rgb_out, last_lab = _device_frame_step(
-            params,
-            jnp.array(rgb),
-            last_lab,
-            ref_lab_small,
-            ref_state,
-            temperature=temperature,
-            wls=wls,
-            lambda_value=lambda_value,
-            sigma_color=sigma_color,
-            use_pallas=use_pallas,
-        )
-        write_q.put((idx, np.asarray(rgb_out)))
-        idx += 1
+    if mode == "scan":
+        # accumulate chunks of `chunk` frames; pad the tail by repeating
+        # the final frame and trim after
+        buf = []
+        done = False
+        while not done:
+            rgb = frame_q.get()
+            if rgb is None:
+                done = True
+            else:
+                buf.append(rgb)
+            if buf and (len(buf) == chunk or done):
+                valid = len(buf)
+                while len(buf) < chunk:
+                    buf.append(buf[-1])
+                outs, last_lab = _device_chunk_scan(
+                    params,
+                    jnp.asarray(np.stack(buf)),
+                    last_lab,
+                    ref_state,
+                    temperature=temperature,
+                    wls=wls,
+                    lambda_value=lambda_value,
+                    sigma_color=sigma_color,
+                    use_pallas=use_pallas,
+                )
+                outs = np.asarray(outs)
+                for i in range(valid):
+                    write_q.put((idx, outs[i]))
+                    idx += 1
+                buf = []
+    else:
+        while True:
+            rgb = frame_q.get()
+            if rgb is None:
+                break
+            rgb_out, last_lab = _device_frame_step(
+                params,
+                jnp.array(rgb),
+                last_lab,
+                ref_lab_small,
+                ref_state,
+                temperature=temperature,
+                wls=wls,
+                lambda_value=lambda_value,
+                sigma_color=sigma_color,
+                use_pallas=use_pallas,
+            )
+            write_q.put((idx, np.asarray(rgb_out)))
+            idx += 1
 
     write_q.put(None)
     wt.join()

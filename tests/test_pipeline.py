@@ -196,3 +196,36 @@ def test_multi_ref_matches_serial(params, tmp_path, rng):
             # uint8-level wobble
             assert np.abs(a - b).mean() < 1.0
             assert np.abs(a - b).max() <= 30
+
+
+def test_scan_mode_matches_stream(params, tmp_path, rng):
+    """mode=scan (chunked lax.scan incl. postproc) == mode=stream."""
+    from PIL import Image
+
+    from devc_tpu.pipeline.video import colorize_video
+
+    clip = tmp_path / "clip"
+    clip.mkdir()
+    h, w = 64, 128
+    for i in range(5):  # 5 frames with chunk=2: exercises tail padding
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            clip / f"{i:03d}.jpg"
+        )
+    ref = tmp_path / "ref.jpg"
+    Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(ref)
+
+    stream = colorize_video(
+        params, str(clip), str(ref), str(tmp_path / "stream"),
+        image_size=(h, w), wls=True, write_video=False, use_pallas=False,
+    )
+    scan = colorize_video(
+        params, str(clip), str(ref), str(tmp_path / "scan"),
+        image_size=(h, w), wls=True, write_video=False, use_pallas=False,
+        mode="scan", chunk=2,
+    )
+    assert len(stream) == len(scan) == 5
+    for ps, pc in zip(stream, scan):
+        a = np.asarray(Image.open(ps)).astype(int)
+        b = np.asarray(Image.open(pc)).astype(int)
+        assert np.abs(a - b).mean() < 1.0
+        assert np.abs(a - b).max() <= 30
