@@ -30,10 +30,13 @@ import jax.numpy as jnp
 def wta_scale(f, scale: float):
     """Winner-take-all scaling (reference NonlocalNet.py:288-309 forward).
 
-    Keeps each row's max, multiplies everything else by `scale`. The
-    reference implements this as a custom autograd Function whose backward
-    applies the same mask to the gradient — which is exactly what
-    differentiating this forward does, so no custom VJP is needed.
+    Keeps each row's max, multiplies everything else by `scale`.
+    Differentiating this forward gives grad 1 at row maxima and `scale`
+    elsewhere. Note: the reference's hand-written backward
+    (NonlocalNet.py:311-327) hardcodes 1e-4 for non-max positions
+    regardless of the forward `scale` argument; the two coincide exactly at
+    the intended default scale=1e-4 (the only value the reference ever
+    passes, NonlocalNet.py:296).
     """
     row_max = jnp.max(f, axis=-1, keepdims=True)
     return jnp.where(f == row_max, f, f * scale)

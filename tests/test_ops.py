@@ -166,3 +166,29 @@ def test_correspondence_hard_argmax_temperature():
     # row 0 ties between keys 0 and 2 -> mean(10, 30) = 20
     np.testing.assert_allclose(w[0, 0, 0], 20.0, atol=1e-4)
     np.testing.assert_allclose(w[0, 1, 0], 20.0, atol=1e-4)
+
+
+def test_wta_scale_matches_reference(rng):
+    """Forward + backward parity with the reference custom autograd Function
+    at its default scale=1e-4 (the only scale it ever uses)."""
+    import jax
+    from tests.oracles import reference_module
+
+    nl = reference_module("models.NonlocalNet")
+    f = rng.randn(2, 6, 8).astype(np.float32)
+    ct = rng.randn(2, 6, 8).astype(np.float32)
+
+    # forward
+    ours = np.asarray(ops.wta_scale(jnp.array(f), 1e-4))
+    ft = torch.tensor(f, requires_grad=True)
+    out_t = nl.WTA_scale.apply(ft, 1e-4)
+    np.testing.assert_allclose(ours, out_t.detach().numpy(), atol=1e-6)
+
+    # backward
+    grad_ours = np.asarray(
+        jax.grad(lambda x: jnp.sum(ops.wta_scale(x, 1e-4) * jnp.array(ct)))(
+            jnp.array(f)
+        )
+    )
+    out_t.backward(torch.tensor(ct))
+    np.testing.assert_allclose(grad_ours, ft.grad.numpy(), atol=1e-6)
