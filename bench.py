@@ -7,8 +7,24 @@ ab upsample x2 + chroma boost -> device-side edge-aware smoothing ->
 Lab -> uint8 RGB out. Random weights (the reference ships no checkpoints);
 throughput is weight-independent.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is against the 30 fps/chip target from BASELINE.md.
+Measurement methodology (round-2 redesign, VERDICT r1 #1): frames are
+processed `chunk` at a time with the whole-clip lax.scan program
+(pipeline/video.py::_device_chunk_scan — the recurrent carry crosses chunk
+boundaries exactly as in real clip processing), with all chunks dispatched
+asynchronously and one block at the end. This measures the chip, not the
+relay: on the tunneled single-chip axon setup a per-frame dispatch costs
+50-180 ms of round-trip latency (measured 2026-08-16), which is a property
+of the development tunnel, not of TPU serving (a production host dispatches
+over PCIe). Inputs are pre-staged on device and differ per frame so relay
+execution-memoization cannot fire; outputs are synced with
+block_until_ready but not fetched (the d2h tunnel moves ~0.4 MB/s, ~250x
+slower than any real host link). The per-dispatch stream-mode number is
+reported alongside in "extra" so relay overhead stays visible.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}
+where vs_baseline is against the 30 fps/chip target from BASELINE.md and
+extra carries secondary metrics (per-dispatch fps; full-resolution config
+with the net at 768x432, N=20736 correspondence via the Pallas kernel).
 """
 
 from __future__ import annotations
@@ -21,52 +37,122 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _stage_chunks(rng, n_chunks, k, h, w):
+    """Distinct uint8 frames for every chunk, staged on device up front."""
+    chunks = [
+        jax.device_put(rng.randint(0, 256, (k, h, w, 3), dtype=np.uint8))
+        for _ in range(n_chunks)
+    ]
+    jax.block_until_ready(chunks)
+    return chunks
+
+
+def _scan_fps(params, ref_state, chunks, last0, use_pallas, rounds=2):
+    """Chained scan over all staged chunks, async dispatch, block at end.
+    Returns best-of-`rounds` frames/sec."""
+    from devc_tpu.pipeline.video import _device_chunk_scan
+
+    k = chunks[0].shape[0]
+    best = 0.0
+    for _ in range(rounds):
+        outs = []
+        cur = last0
+        t0 = time.perf_counter()
+        for chunk in chunks:
+            out, cur = _device_chunk_scan(
+                params, chunk, cur, ref_state,
+                temperature=1e-10, wls=True, use_pallas=use_pallas,
+            )
+            outs.append(out)
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        best = max(best, len(chunks) * k / dt)
+    return best
+
+
 def main():
     from devc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     from __graft_entry__ import _make_params
-    from devc_tpu.pipeline.video import _device_frame_step, _device_ref_features
+    from devc_tpu.pipeline.video import (
+        _device_chunk_scan,
+        _device_frame_step,
+        _device_ref_features,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
+    use_pallas = True if on_tpu else False
     params = _make_params(jax.random.PRNGKey(0))
 
     h, w = 432, 768
     rng = np.random.RandomState(0)
     ref_u8 = jnp.asarray(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
-    frames = [
-        jnp.asarray(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
-        for _ in range(4)
-    ]
-
     ref_lab_small, ref_state = _device_ref_features(params, ref_u8)
-    last = jnp.zeros((1, h // 2, w // 2, 3), jnp.float32)
+    last0 = jnp.zeros((1, h // 2, w // 2, 3), jnp.float32)
 
-    def step(frame, last):
-        return _device_frame_step(
-            params, frame, last, ref_lab_small, ref_state,
-            temperature=1e-10, wls=True, use_pallas=True if on_tpu else False,
-        )
+    k = 64 if on_tpu else 2
+    n_chunks = 6 if on_tpu else 2
+    chunks = _stage_chunks(rng, n_chunks, k, h, w)
 
-    # warmup / compile
-    out, last = step(frames[0], last)
+    # warm / compile the scan program
+    out, _ = _device_chunk_scan(params, chunks[0], last0, ref_state,
+                                temperature=1e-10, wls=True,
+                                use_pallas=use_pallas)
     jax.block_until_ready(out)
 
-    n_iters = 30 if on_tpu else 3
+    fps = _scan_fps(params, ref_state, chunks, last0, use_pallas)
+
+    # secondary: per-dispatch stream mode (relay-latency bound on axon)
+    frames = [c[0] for c in chunks]
+    out, cur = _device_frame_step(params, frames[0], last0, ref_lab_small,
+                                  ref_state, temperature=1e-10, wls=True,
+                                  use_pallas=use_pallas)
+    jax.block_until_ready(out)
+    n_stream = 20 if on_tpu else 2
+    outs = []
+    cur = last0
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out, last = step(frames[i % len(frames)], last)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    for i in range(n_stream):
+        out, cur = _device_frame_step(params, frames[i % len(frames)], cur,
+                                      ref_lab_small, ref_state,
+                                      temperature=1e-10, wls=True,
+                                      use_pallas=use_pallas)
+        outs.append(out)
+    jax.block_until_ready(outs)
+    stream_fps = n_stream / (time.perf_counter() - t0)
+
+    # secondary: full-resolution config — net at 768x432 (N=20736
+    # correspondence, the regime the Pallas kernel exists for;
+    # BASELINE.json config 3). Input 864x1536, halved by the pipeline.
+    fullres_fps = None
+    if on_tpu:
+        fh, fw = 864, 1536
+        ref_u8_f = jnp.asarray(rng.randint(0, 256, (fh, fw, 3), dtype=np.uint8))
+        _, ref_state_f = _device_ref_features(params, ref_u8_f)
+        last_f = jnp.zeros((1, fh // 2, fw // 2, 3), jnp.float32)
+        fchunks = _stage_chunks(rng, 2, 8, fh, fw)
+        out, _ = _device_chunk_scan(params, fchunks[0], last_f, ref_state_f,
+                                    temperature=1e-10, wls=True,
+                                    use_pallas=True)
+        jax.block_until_ready(out)
+        fullres_fps = round(
+            _scan_fps(params, ref_state_f, fchunks, last_f, True), 3
+        )
 
     print(
         json.dumps(
             {
-                "metric": "frame_colorization_fps_768x432_1chip",
+                "metric": "frame_colorization_fps_input768x432_net384x216_1chip",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 30.0, 3),
+                "extra": {
+                    "stream_mode_per_dispatch_fps": round(stream_fps, 3),
+                    "fullres_net768x432_N20736_fps": fullres_fps,
+                    "chunk": k,
+                    "frames_measured": n_chunks * k,
+                },
             }
         )
     )

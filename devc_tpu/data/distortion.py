@@ -136,3 +136,49 @@ def random_horizontal_flip(img_u8: np.ndarray, p: float = 0.5, rng=None):
     if rng.rand() < p:
         return img_u8[:, ::-1].copy()
     return img_u8
+
+
+def random_resized_crop(
+    img_u8: np.ndarray,
+    size: int = 480,
+    scale=(0.98, 1.0),
+    ratio=(0.8, 1.2),
+    rng=None,
+):
+    """Random crop of random area/aspect, resized to size x size.
+
+    Mirrors torchvision RandomResizedCrop as used for the self-reference
+    exemplar (reference train.py:251-254): sample an area fraction in
+    `scale` and a log-uniform aspect ratio in `ratio`, crop, then resize to
+    (size, size) bilinear. Falls back to a clamped center crop after 10
+    failed attempts.
+    """
+    from PIL import Image as _Image
+
+    rng = rng or np.random.RandomState(None)
+    h0, w0 = img_u8.shape[:2]
+    area = h0 * w0
+    for _ in range(10):
+        target_area = rng.uniform(*scale) * area
+        log_ratio = (np.log(ratio[0]), np.log(ratio[1]))
+        ar = np.exp(rng.uniform(*log_ratio))
+        w = int(round(np.sqrt(target_area * ar)))
+        h = int(round(np.sqrt(target_area / ar)))
+        if 0 < w <= w0 and 0 < h <= h0:
+            i = rng.randint(0, h0 - h + 1)
+            j = rng.randint(0, w0 - w + 1)
+            break
+    else:
+        # center-crop fallback, aspect clamped to the ratio range
+        in_ratio = w0 / h0
+        if in_ratio < ratio[0]:
+            w, h = w0, min(int(round(w0 / ratio[0])), h0)
+        elif in_ratio > ratio[1]:
+            h, w = h0, min(int(round(h0 * ratio[1])), w0)
+        else:
+            w, h = w0, h0
+        i = (h0 - h) // 2
+        j = (w0 - w) // 2
+    crop = img_u8[i : i + h, j : j + w]
+    out = _Image.fromarray(crop).resize((size, size), _Image.BILINEAR)
+    return np.asarray(out, dtype=np.uint8)

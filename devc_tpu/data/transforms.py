@@ -31,28 +31,79 @@ def sort_frames_numerically(names):
     return sorted(names, key=key)
 
 
+def resize_antialiased_np(img: np.ndarray, out_hw) -> np.ndarray:
+    """Anti-aliased float64 resize with the exact semantics of the
+    reference's host resize (skimage.transform.resize with
+    anti_aliasing=True, mode='reflect', preserve_range=True, clip=False —
+    reference utils/util_distortion.py:240,245,252): gaussian prefilter
+    with sigma = (downscale_factor - 1)/2 per axis ('reflect' boundary =
+    ndimage 'mirror'), then separable half-pixel bilinear
+    (src = (dst + 0.5) * in/out - 0.5)."""
+    from scipy.ndimage import gaussian_filter
+
+    arr = np.asarray(img, dtype=np.float64)
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    fh, fw = arr.shape[0] / oh, arr.shape[1] / ow
+    if fh > 1 or fw > 1:
+        sigma = [max(0.0, (fh - 1) / 2), max(0.0, (fw - 1) / 2)]
+        if arr.ndim == 3:
+            sigma.append(0.0)
+        arr = gaussian_filter(arr, sigma, mode="mirror")
+
+    def axis_interp(a, axis, n_out):
+        n_in = a.shape[axis]
+        src = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+        src = np.clip(src, 0, n_in - 1)
+        lo = np.floor(src).astype(int)
+        hi = np.minimum(lo + 1, n_in - 1)
+        wgt = src - lo
+        shape = [1] * a.ndim
+        shape[axis] = n_out
+        wgt = wgt.reshape(shape)
+        return np.take(a, lo, axis=axis) * (1 - wgt) + np.take(
+            a, hi, axis=axis
+        ) * wgt
+
+    arr = axis_interp(arr, 0, oh)
+    return axis_interp(arr, 1, ow)
+
+
 def center_pad(img: Image.Image, size) -> Image.Image:
-    """Aspect-preserving resize + center crop to (height, width)."""
+    """Aspect-preserving resize + center crop to (height, width).
+
+    Bit-matches the reference CenterPad (utils/util_distortion.py:217-258)
+    including its quirks: resize sizes from int() truncation of the uniform
+    scale factor, anti-aliased float resize, and a truncating (not
+    rounding) uint8 cast of the float result.
+    """
     th, tw = size
-    w, h = img.size
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w = arr.shape[:2]
     target_ratio = th / tw
     if h / w == target_ratio:
         if h == th:
-            return img
-        return img.resize((tw, th), Image.BILINEAR)
-    if h / w > target_ratio:
+            out = arr
+        else:
+            new_size = [int(x * th / h) for x in (h, w)]
+            out = resize_antialiased_np(arr, new_size)
+    elif h / w > target_ratio:
         # too tall: match width, crop height
-        new_w = tw
-        new_h = round(h * tw / w)
-        img = img.resize((new_w, new_h), Image.BILINEAR)
-        top = (new_h - th) // 2
-        return img.crop((0, top, tw, top + th))
-    # too wide: match height, crop width
-    new_h = th
-    new_w = round(w * th / h)
-    img = img.resize((new_w, new_h), Image.BILINEAR)
-    left = (new_w - tw) // 2
-    return img.crop((left, 0, left + tw, th))
+        new_size = [int(x * tw / w) for x in (h, w)]
+        resized = resize_antialiased_np(arr, new_size)
+        top = (new_size[0] - th) // 2
+        out = resized[top : top + th, :, :]
+    else:
+        # too wide: match height, crop width
+        new_size = [int(x * th / h) for x in (h, w)]
+        resized = resize_antialiased_np(arr, new_size)
+        left = (new_size[1] - tw) // 2
+        out = resized[:, left : left + tw, :]
+    out = np.asarray(out).astype(np.uint8)  # truncation, as the reference
+    if out.shape[2] == 1:
+        out = out[:, :, 0]
+    return Image.fromarray(out)
 
 
 def center_crop(arr: np.ndarray, size):

@@ -267,10 +267,19 @@ class ImageNetPairsDataset:
             placeholder = np.zeros_like(last_lab)
             flag = np.zeros((1,), np.float32)
         else:
-            # self-reference: jittered crop/flip of the source still
-            # (reference extra_reference_transform, train.py:251-254)
-            ref_rgb = D.random_horizontal_flip(i1_rgb, 0.5, rng)
-            ref_rgb = D.random_erasing(ref_rgb, probability=0.0, rng=rng)
+            # self-reference: flip + RandomResizedCrop(480,(0.98,1.0),(0.8,1.2))
+            # of the RAW still, then the usual pad pipeline (reference
+            # extra_reference_transform, train.py:251-254, applied at
+            # lib/videoloader_imagenet.py:228 before transforms_imagenet_raw)
+            ref_raw = np.asarray(img_a, dtype=np.uint8)
+            ref_raw = D.random_horizontal_flip(ref_raw, 0.5, rng)
+            ref_raw = D.random_resized_crop(
+                ref_raw, 480, scale=(0.98, 1.0), ratio=(0.8, 1.2), rng=rng
+            )
+            ref_rgb = np.asarray(
+                center_pad_threshold(Image.fromarray(ref_raw), size), np.uint8
+            )
+            ref_rgb = _center_crop_pad(ref_rgb, size)
             if rng.random_sample() < self.nonzero_placeholder_probability:
                 placeholder = current_lab.copy()
             else:
@@ -336,10 +345,21 @@ class PrefetchLoader:
             }
 
         def producer():
+            # Bounded in-flight futures: at most workers+prefetch batches are
+            # being built while <=prefetch sit in the queue, so a slow
+            # consumer backpressures the pool instead of the pool
+            # materializing every batch of the run up front.
+            from collections import deque
+
+            inflight = self.workers + self.prefetch
             with ThreadPoolExecutor(self.workers) as pool:
-                futures = [pool.submit(make_batch, s) for s in range(self.steps)]
-                for f in futures:
-                    q.put(f.result())
+                dq: "deque" = deque()
+                for s in range(self.steps):
+                    dq.append(pool.submit(make_batch, s))
+                    if len(dq) >= inflight:
+                        q.put(dq.popleft().result())
+                while dq:
+                    q.put(dq.popleft().result())
             q.put(stop)
 
         threading.Thread(target=producer, daemon=True).start()

@@ -170,17 +170,45 @@ def warp_with_keys(
     use_pallas: bool | None = None,
     out_dtype=jnp.float32,
     differentiable: bool = False,
+    corr_sharding=None,
 ):
-    """Correspondence + upsample given precomputed embeddings."""
+    """Correspondence + upsample given precomputed embeddings.
+
+    corr_sharding: optional (mesh, axis_name, kind) with kind in
+    {"rows", "keys"} — runs the N x N correspondence model-parallel over
+    the mesh axis (rows: query rows sharded, no collectives; keys:
+    context-parallel with an exact online-softmax psum/pmax combine). See
+    devc_tpu/parallel/sharded_corr.py. Inference-only (wta off).
+    """
     B = theta.shape[0]
     fh, fw = out_hw[0] // 4, out_hw[1] // 4
-    warped, similarity = correspondence_warp(
-        theta, phi, values,
-        temperature=temperature,
-        wta_scale_weight=wta_scale_weight,
-        use_pallas=use_pallas,
-        differentiable=differentiable,
-    )
+    if corr_sharding is not None:
+        assert wta_scale_weight == 1.0 and not differentiable, (
+            "sharded correspondence is the inference fast path"
+        )
+        from devc_tpu.parallel.sharded_corr import (
+            correspondence_warp_key_sharded,
+            correspondence_warp_sharded,
+        )
+
+        mesh, axis, kind = corr_sharding
+        fn = (
+            correspondence_warp_sharded
+            if kind == "rows"
+            else correspondence_warp_key_sharded
+        )
+        warped, similarity = fn(
+            theta, phi, values, mesh,
+            temperature=temperature, axis=axis, use_pallas=use_pallas,
+        )
+    else:
+        warped, similarity = correspondence_warp(
+            theta, phi, values,
+            temperature=temperature,
+            wta_scale_weight=wta_scale_weight,
+            use_pallas=use_pallas,
+            differentiable=differentiable,
+        )
     warped = warped.reshape(B, fh, fw, 3)
     similarity = similarity.reshape(B, fh, fw, 1)
     return (

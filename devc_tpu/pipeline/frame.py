@@ -58,6 +58,7 @@ def warp_color(
     use_pallas: bool | None = None,
     ref_embedding=None,
     differentiable: bool = False,
+    corr_sharding=None,
 ):
     """Warp exemplar color onto the gray frame (reference FrameColor.py:5-38).
 
@@ -88,6 +89,7 @@ def warp_color(
             params["warpnet"], theta, phi, values, hw,
             temperature=temperature, use_pallas=use_pallas,
             out_dtype=a_l.dtype, differentiable=differentiable,
+            corr_sharding=corr_sharding,
         )
     else:
         b_n = tuple(
@@ -118,6 +120,7 @@ def frame_colorization(
     joint_training: bool = True,
     use_pallas: bool | None = None,
     ref_embedding=None,
+    corr_sharding=None,
 ):
     """Colorize one frame (reference FrameColor.py:41-67).
 
@@ -141,7 +144,7 @@ def frame_colorization(
     warped_lab, similarity, feats_a = warp_color(
         params, a_l, b_lab, features_b, temperature=temperature,
         use_pallas=use_pallas, ref_embedding=ref_embedding,
-        differentiable=joint_training,
+        differentiable=joint_training, corr_sharding=corr_sharding,
     )
     if not joint_training:
         warped_lab = jax.lax.stop_gradient(warped_lab)

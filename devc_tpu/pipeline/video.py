@@ -72,14 +72,19 @@ def _frame_body(
 
     l_large = lab_large[..., 0:1]
     if wls:
-        guide = cs.uncenter_l(l_large[0, ..., 0]) * 255.0 / 100.0
+        # uint8-truncated guide, exactly as the reference feeds OpenCV
+        # (test.py:110-112: .numpy().astype(np.uint8))
+        guide = jnp.clip(
+            jnp.floor(cs.uncenter_l(l_large[0, ..., 0]) * 255.0 / 100.0),
+            0.0, 255.0,
+        )
         ab_up = fast_global_smoother(
             ab_up[0], guide, lam=lambda_value, sigma_color=sigma_color
         )[None]
 
     out_lab = jnp.concatenate([l_large, ab_up], axis=-1)
     rgb_out = cs.lab_centered_to_rgb(out_lab)[0]
-    rgb_u8_out = jnp.clip(jnp.round(rgb_out * 255.0), 0, 255).astype(jnp.uint8)
+    rgb_u8_out = jnp.floor(jnp.clip(rgb_out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return rgb_u8_out, new_last
 
 
@@ -193,7 +198,10 @@ def _device_frame_step_multi(
     ab_up = resize_bilinear(pred_ab, (h, w)) * 1.25
     l_large = lab_large[..., 0:1]
     if wls:
-        guide = cs.uncenter_l(l_large[0, ..., 0]) * 255.0 / 100.0
+        guide = jnp.clip(
+            jnp.floor(cs.uncenter_l(l_large[0, ..., 0]) * 255.0 / 100.0),
+            0.0, 255.0,
+        )
         smooth = jax.vmap(
             lambda x: fast_global_smoother(
                 x, guide, lam=lambda_value, sigma_color=sigma_color
@@ -204,7 +212,7 @@ def _device_frame_step_multi(
     out_lab = jnp.concatenate([l_large_r, ab_up], axis=-1)
     rgb_out = cs.lab_centered_to_rgb(out_lab)
     return (
-        jnp.clip(jnp.round(rgb_out * 255.0), 0, 255).astype(jnp.uint8),
+        jnp.floor(jnp.clip(rgb_out, 0.0, 1.0) * 255.0).astype(jnp.uint8),
         new_last,
     )
 
@@ -250,14 +258,31 @@ def colorize_video_multi(
     of per-reference lists of written frame paths.
     """
     assert len(ref_paths) == len(output_dirs) and ref_paths
-    r = len(ref_paths)
-    for d in output_dirs:
-        os.makedirs(d, exist_ok=True)
     names = list_clip_frames(clip_dir)
     if not names:
         raise ValueError(f"no frames found in {clip_dir}")
 
-    refs = np.stack([load_frame_rgb(p, image_size) for p in ref_paths])
+    # Per-exemplar fault tolerance (reference test.py:179-181 swallows
+    # errors per reference): decode every exemplar up front, drop the ones
+    # that fail with a warning, and continue with the rest.
+    decoded, kept = [], []
+    for p, d in zip(ref_paths, output_dirs):
+        try:
+            decoded.append(load_frame_rgb(p, image_size))
+            kept.append((p, d))
+        except Exception as e:  # corrupt/missing exemplar
+            import warnings
+
+            warnings.warn(f"skipping reference {p}: {e}")
+    if not decoded:
+        raise ValueError("all reference images failed to decode")
+    ref_paths = [p for p, _ in kept]
+    output_dirs = [d for _, d in kept]
+    r = len(ref_paths)
+    for d in output_dirs:
+        os.makedirs(d, exist_ok=True)
+
+    refs = np.stack(decoded)
     ref_lab_small, ref_state = _device_ref_features_multi(
         params, jnp.asarray(refs)
     )
@@ -363,6 +388,7 @@ def colorize_video(
     prefetch: int = 4,
     mode: str = "stream",
     chunk: int = 16,
+    out_ext: str = "jpg",
 ):
     """Colorize every frame of clip_dir with the exemplar at ref_path.
 
@@ -413,7 +439,7 @@ def colorize_video(
             if item is None:
                 return
             idx, arr = item
-            path = os.path.join(output_dir, f"{idx:05d}.jpg")
+            path = os.path.join(output_dir, f"{idx:05d}.{out_ext}")
             Image.fromarray(arr).save(path, quality=95)
             written.append(path)
 

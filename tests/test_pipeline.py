@@ -198,6 +198,47 @@ def test_multi_ref_matches_serial(params, tmp_path, rng):
             assert np.abs(a - b).max() <= 30
 
 
+def test_multi_ref_drops_corrupt_exemplar(params, tmp_path, rng):
+    """One corrupt exemplar must be skipped with a warning, not abort the
+    batch (reference test.py:179-181 per-reference fault tolerance)."""
+    import warnings
+
+    from PIL import Image
+
+    from devc_tpu.pipeline.video import colorize_video_multi
+
+    clip = tmp_path / "clip"
+    clip.mkdir()
+    h, w = 64, 128
+    for i in range(2):
+        Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(
+            clip / f"{i:03d}.jpg"
+        )
+    good = tmp_path / "good.jpg"
+    Image.fromarray((rng.rand(h, w, 3) * 255).astype(np.uint8)).save(good)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not an image")
+
+    dirs = [str(tmp_path / "out_bad"), str(tmp_path / "out_good")]
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        written = colorize_video_multi(
+            params, str(clip), [str(bad), str(good)], dirs,
+            image_size=(h, w), wls=False, write_video=False, use_pallas=False,
+        )
+    assert any("skipping reference" in str(c.message) for c in caught)
+    assert len(written) == 1 and len(written[0]) == 2
+    assert all(p.startswith(dirs[1]) for p in written[0])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="all reference images failed"):
+        colorize_video_multi(
+            params, str(clip), [str(bad)], [dirs[0]],
+            image_size=(h, w), wls=False, write_video=False, use_pallas=False,
+        )
+
+
 def test_scan_mode_matches_stream(params, tmp_path, rng):
     """mode=scan (chunked lax.scan incl. postproc) == mode=stream."""
     from PIL import Image

@@ -100,3 +100,87 @@ def test_prefetch_loader_resamples_corrupt(video_root, tmp_path):
     loader = PrefetchLoader([FlakyDS()], batch_size=2, steps=2, workers=1)
     batches = list(loader)
     assert len(batches) == 2
+
+
+def test_prefetch_loader_backpressure():
+    """A slow consumer must bound the number of materialized batches
+    (VERDICT r1 weak #2: futures were all submitted up front)."""
+    import threading
+    import time
+
+    lock = threading.Lock()
+    state = {"produced": 0, "consumed": 0, "max_inflight": 0}
+
+    class CountingDS:
+        def __len__(self):
+            return 1000
+
+        def get(self, idx, rng):
+            with lock:
+                state["produced"] += 1
+                inflight = state["produced"] - state["consumed"]
+                state["max_inflight"] = max(state["max_inflight"], inflight)
+            return dict(x=np.zeros((4,), np.float32))
+
+    workers, prefetch, steps = 2, 2, 40
+    loader = PrefetchLoader([CountingDS()], batch_size=1, steps=steps,
+                            workers=workers, prefetch=prefetch)
+    for _ in loader:
+        time.sleep(0.01)  # slow consumer
+        with lock:
+            state["consumed"] += 1
+    assert state["produced"] == steps
+    # bound: in-flight futures (workers+prefetch) + queued (prefetch) + one
+    # being handed over; anything near `steps` means no backpressure
+    bound = workers + 2 * prefetch + 2
+    assert state["max_inflight"] <= bound, state
+
+
+@pytest.fixture
+def imagenet_root(tmp_path):
+    rng = np.random.RandomState(0)
+    d = tmp_path / "class0"
+    (d / "input").mkdir(parents=True)
+    names = []
+    for i in range(3):
+        name = f"img{i}"
+        arr = (rng.rand(120, 160, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / "input" / f"{name}.JPEG")
+        names.append(name)
+    with open(d / "pairs.txt", "w") as f:
+        for i in range(2):
+            f.write(f"{names[i]}.JPEG {names[i+1]}.JPEG 1.0\n")
+    return tmp_path
+
+
+def test_imagenet_self_reference_is_geometrically_jittered(imagenet_root):
+    """Self-reference exemplars must go through flip + RandomResizedCrop
+    (reference train.py:251-254), not be the source still verbatim."""
+    ds = ImageNetPairsDataset(
+        str(imagenet_root), image_size=(64, 64),
+        real_reference_probability=0.0,  # force self-reference
+        distortion_level=0.0, brightness_jitter=0.0,
+    )
+    diffs = []
+    for seed in range(6):
+        item = ds.get(0, np.random.RandomState(seed))
+        assert item["self_ref_flag"][0] == 1.0
+        assert item["ref_lab"].shape == (64, 64, 3)
+        diffs.append(np.abs(item["ref_lab"] - item["last_lab"]).mean())
+    # across several seeds the crop/aspect jitter must move pixels
+    assert max(diffs) > 0.5, diffs
+
+
+def test_random_resized_crop_shapes_and_coverage():
+    from devc_tpu.data.distortion import random_resized_crop
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(100, 140, 3) * 255).astype(np.uint8)
+    out = random_resized_crop(img, size=48, rng=rng)
+    assert out.shape == (48, 48, 3)
+    # scale=(1,1), ratio=(1,1) on a square image = plain resize
+    sq = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    out2 = random_resized_crop(sq, size=32, scale=(1.0, 1.0),
+                               ratio=(1.0, 1.0), rng=rng)
+    ref = np.asarray(Image.fromarray(sq).resize((32, 32), Image.BILINEAR))
+    assert np.array_equal(out2, ref)
