@@ -17,7 +17,11 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
 _BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libdevc_native.so")
-_SRC = os.path.join(_NATIVE_DIR, "forward_warp.cpp")
+_SRCS = [
+    os.path.join(_NATIVE_DIR, "forward_warp.cpp"),
+    os.path.join(_NATIVE_DIR, "resize_aa.cpp"),
+]
+_SRC = _SRCS[0]  # kept for backwards-compat with older builds
 
 _lock = threading.Lock()
 _lib = None
@@ -28,7 +32,7 @@ def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-        _SRC, "-o", _LIB_PATH,
+        *_SRCS, "-o", _LIB_PATH,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
@@ -37,7 +41,7 @@ def _build() -> bool:
         # retry without -march/-fopenmp (portability)
         try:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+                ["g++", "-O3", "-shared", "-fPIC", *_SRCS, "-o", _LIB_PATH],
                 check=True, capture_output=True, timeout=180,
             )
             return True
@@ -51,10 +55,12 @@ def get_lib():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)
-        ):
+        stale = not os.path.exists(_LIB_PATH) or any(
+            os.path.exists(s)
+            and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+            for s in _SRCS
+        )
+        if stale:
             if not _build():
                 _lib_failed = True
                 return None
@@ -69,8 +75,15 @@ def get_lib():
                 ctypes.c_int, ctypes.c_float,
             ]
             lib.forward_warp_u8.restype = None
+            lib.resize_aa_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int, ctypes.c_int,
+            ]
+            lib.resize_aa_u8.restype = None
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
             _lib_failed = True
         return _lib
 
@@ -135,6 +148,31 @@ def _forward_warp_numpy(src, u, v, max_iter=5, precision=1e-2):
     j = np.clip(j, 0, h - 1)
     out = _bilinear_gather(src.astype(np.float32), i, j)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def resize_aa_native(src_u8: np.ndarray, out_hw):
+    """Anti-aliased float64 resize of a uint8 HWC image (the reference's
+    exact CenterPad resize semantics — see native/resize_aa.cpp and the
+    numpy twin transforms.resize_antialiased_np). Returns float64 [oh,ow,c]
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src_u8, dtype=np.uint8)
+    squeeze = False
+    if src.ndim == 2:
+        src = src[..., None]
+        squeeze = True
+    h, w, c = src.shape
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    dst = np.empty((oh, ow, c), np.float64)
+    lib.resize_aa_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, c,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        oh, ow,
+    )
+    return dst[..., 0] if squeeze else dst
 
 
 def forward_warp(src: np.ndarray, u: np.ndarray, v: np.ndarray,

@@ -41,6 +41,16 @@ def resize_antialiased_np(img: np.ndarray, out_hw) -> np.ndarray:
     (src = (dst + 0.5) * in/out - 0.5)."""
     from scipy.ndimage import gaussian_filter
 
+    src = np.asarray(img)
+    if src.dtype == np.uint8:
+        # hot path: the native C++ kernel (same float64 math, ~5x faster
+        # on this host); numpy fallback below when no compiler is available
+        from devc_tpu.data.native import resize_aa_native
+
+        out = resize_aa_native(src, out_hw)
+        if out is not None:
+            return out
+
     arr = np.asarray(img, dtype=np.float64)
     oh, ow = int(out_hw[0]), int(out_hw[1])
     fh, fw = arr.shape[0] / oh, arr.shape[1] / ow

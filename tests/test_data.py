@@ -88,6 +88,30 @@ def test_center_pad_shapes():
     assert out2.size == (128, 64)
 
 
+def test_native_resize_matches_numpy():
+    """The C++ anti-aliased resize must be numerically identical (float64)
+    to the numpy implementation of the reference's CenterPad resize."""
+    from devc_tpu.data.native import resize_aa_native
+    from devc_tpu.data.transforms import resize_antialiased_np
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(90, 140, 3) * 255).astype(np.uint8)
+    native = resize_aa_native(img, (61, 97))
+    if native is None:  # no compiler in this environment
+        import pytest
+
+        pytest.skip("native library unavailable")
+    ref = resize_antialiased_np(img.astype(np.float64), (61, 97))
+    assert np.abs(native - ref).max() < 1e-9
+    # upscale (no prefilter) and grayscale paths
+    up_n = resize_aa_native(img[::4, ::4], (80, 120))
+    up_r = resize_antialiased_np(img[::4, ::4].astype(np.float64), (80, 120))
+    assert np.abs(up_n - up_r).max() < 1e-9
+    g_n = resize_aa_native(img[..., 0], (45, 70))
+    g_r = resize_antialiased_np(img[..., 0].astype(np.float64), (45, 70))
+    assert np.abs(g_n - g_r).max() < 1e-9
+
+
 def test_center_crop():
     arr = np.arange(5 * 6).reshape(5, 6)
     out = center_crop(arr, (3, 4))

@@ -4,9 +4,12 @@ with fixed random weights must keep producing the same images (VERDICT r1
 next-step #10 — the synthetic 64x64 golden in test_golden.py cannot see
 regressions in the host decode/resize/write path).
 
-Golden generated on CPU with host_pipeline_params(seed=0); the +-2 uint8
-tolerance absorbs XLA-version fp reassociation while catching any real
-semantic change (observed changes from actual bugs are tens of levels).
+Golden generated on CPU with host_pipeline_params(seed=0) and the NATIVE
+anti-aliased resize (the canonical host path; the numpy fallback differs
+by float64-tie truncation flips of +-1 on the uint8 CenterPad output,
+which the T=1e-10 argmax warp then amplifies with these random weights).
+The +-2 uint8 tolerance absorbs XLA-version fp reassociation while
+catching any real semantic change (actual bugs move tens of levels).
 """
 
 import os
@@ -28,6 +31,11 @@ pytestmark = pytest.mark.skipif(
 def test_real_clip_pipeline_matches_golden(tmp_path):
     import jax
     import jax.numpy as jnp
+
+    from devc_tpu.data.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable (golden pins that path)")
 
     from devc_tpu.pipeline.video import colorize_video
     from devc_tpu.utils.init import host_pipeline_params
