@@ -111,6 +111,29 @@ def test_fgs_solvers_agree(rng):
     np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def test_pcr_pallas_matches_thomas(rng):
+    """The VMEM-resident Pallas PCR (interpret mode on CPU) solves the
+    same systems as the sequential Thomas oracle."""
+    from devc_tpu.ops.fgs import _tridiag_pcr_pallas
+
+    L, B = 96, 200  # B not a multiple of the 128 lane tile: exercises pad
+    a = rng.rand(L, B).astype(np.float32) * 0.3
+    c = rng.rand(L, B).astype(np.float32) * 0.3
+    b = 1.0 + rng.rand(L, B).astype(np.float32)
+    a[0] = 0
+    c[-1] = 0
+    d = rng.randn(L, B).astype(np.float32)
+    x_p = np.asarray(
+        _tridiag_pcr_pallas(jnp.array(a), jnp.array(b), jnp.array(c),
+                            jnp.array(d), interpret=True)
+    )
+    x_t = np.asarray(
+        _tridiag_thomas(jnp.array(a), jnp.array(b), jnp.array(c),
+                        jnp.array(d))
+    )
+    np.testing.assert_allclose(x_p, x_t, atol=2e-4)
+
+
 def test_thomas_solver_matches_dense(rng):
     L, B = 37, 4
     a = rng.rand(L, B).astype(np.float32) * 0.3
