@@ -7,11 +7,16 @@ Protocol (stdin -> stdout, one JSON object per line):
 
   {"clip_path": "...", "ref_path": "...", "output_path": "...",
    "frame_propagate": false, "wls": true}          # a job
+  {"cmd": "batch", "slots": 4,
+   "jobs": [{"clip_path": ..., "ref_path": ..., "output_path": ...}, ...]}
+                                                   # many clips, batched on
+                                                   # device (ClipBatchScheduler)
   {"cmd": "ping"}                                  # liveness probe
   {"cmd": "shutdown"}                              # drain and exit
 
 Responses:
   {"ok": true, "frames": N, "seconds": S, "fps": F, "outputs": [...]}
+  {"ok": true, "results": [...]}                   # batch
   {"ok": false, "error": "..."}
 
 The startup warmup compiles the frame program for the configured size so
@@ -100,6 +105,35 @@ def main(argv=None):
             return
         if job.get("cmd") == "ping":
             print(json.dumps({"ok": True, "pong": True}), flush=True)
+            continue
+        if job.get("cmd") == "batch":
+            try:
+                from devc_tpu.pipeline.scheduler import ClipBatchScheduler
+
+                t0 = time.time()
+                sched = ClipBatchScheduler(
+                    params,
+                    image_size=(h, w),
+                    slots=int(job.get("slots", 4)),
+                    temperature=args.temperature,
+                    wls=bool(job.get("wls", True)),
+                )
+                for j in job["jobs"]:
+                    sched.submit(j["clip_path"], j["ref_path"],
+                                 j["output_path"])
+                results = sched.run()
+                for r in results:
+                    if r and "outputs" in r:
+                        r["outputs"] = (r["outputs"][:3]
+                                        + (["..."] if len(r["outputs"]) > 3
+                                           else []))
+                print(json.dumps({
+                    "ok": True,
+                    "seconds": round(time.time() - t0, 2),
+                    "results": results,
+                }), flush=True)
+            except Exception as e:
+                print(json.dumps({"ok": False, "error": str(e)}), flush=True)
             continue
         try:
             t0 = time.time()

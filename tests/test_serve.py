@@ -46,6 +46,23 @@ def test_serve_one_job(tmp_path):
         assert resp["frames"] == 2
         assert (out_dir / "00000.jpg").exists()
 
+        # batched multi-clip request through the slot scheduler
+        batch_dirs = [str(tmp_path / "b0"), str(tmp_path / "b1")]
+        proc.stdin.write(json.dumps({
+            "cmd": "batch", "slots": 2,
+            "jobs": [
+                {"clip_path": str(clip), "ref_path": str(ref),
+                 "output_path": batch_dirs[0]},
+                {"clip_path": str(clip), "ref_path": str(ref),
+                 "output_path": batch_dirs[1]},
+            ],
+        }) + "\n")
+        proc.stdin.flush()
+        resp = json.loads(proc.stdout.readline())
+        assert resp["ok"] is True, resp
+        assert [r["frames"] for r in resp["results"]] == [2, 2]
+        assert os.path.exists(os.path.join(batch_dirs[1], "00001.jpg"))
+
         # malformed input must not kill the server
         proc.stdin.write("not json\n")
         proc.stdin.flush()
