@@ -64,7 +64,9 @@ def main(argv=None):
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
-                   help="run weights/activations in bfloat16")
+                   help="run the network stages in bfloat16 (measured NOT "
+                        "faster on v5e — see pipeline/video.py — and "
+                        "quality differs from the fp32 reference semantics)")
     p.add_argument("--no_pallas", action="store_true",
                    help="force the einsum correspondence path")
     p.add_argument("--serial_refs", action="store_true",
@@ -163,6 +165,7 @@ def main(argv=None):
                 write_video=not args.no_video,
                 mode=args.mode,
                 chunk=args.chunk,
+                compute_dtype="bfloat16" if args.bf16 else None,
             )
         except Exception as err:  # keep going per exemplar (reference
             print(f"  error colorizing with {ref}: {err}")  # test.py:179-181)

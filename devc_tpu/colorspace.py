@@ -158,5 +158,8 @@ def feature_normalize(feat, axis=-1, eps=2.220446049250313e-16):
     Mirrors feature_normalize (reference utils/util.py:155-158), which adds
     sys.float_info.epsilon to the norm (not under the sqrt).
     """
-    norm = jnp.linalg.norm(feat, ord=2, axis=axis, keepdims=True) + eps
+    norm = (
+        jnp.linalg.norm(feat.astype(jnp.float32), ord=2, axis=axis,
+                        keepdims=True).astype(feat.dtype) + eps
+    )
     return feat / norm

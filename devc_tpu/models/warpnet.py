@@ -128,10 +128,13 @@ def _center_normalize(feat_flat, eps=2.220446049250313e-16):
     """Spatial mean-centering + channel L2 norm (reference :468-476).
 
     feat_flat: [B, N, C]. Mean over N per channel; L2 over C per position.
+    Statistics in float32 (bf16 reductions over N~20k positions lose the
+    mantissa); output keeps the input dtype.
     """
-    feat = feat_flat - jnp.mean(feat_flat, axis=1, keepdims=True)
+    ff = feat_flat.astype(jnp.float32)
+    feat = ff - jnp.mean(ff, axis=1, keepdims=True)
     norm = jnp.linalg.norm(feat, ord=2, axis=-1, keepdims=True) + eps
-    return feat / norm
+    return (feat / norm).astype(feat_flat.dtype)
 
 
 def embed_queries(params, a_feats, hw):

@@ -68,11 +68,15 @@ def conv2d(params, x, stride: int = 1, padding=0, dilation: int = 1, groups: int
 def instance_norm(x, eps: float = 1e-5):
     """InstanceNorm2d(affine=False), NHWC: normalize each (n, c) plane.
 
-    torch uses biased variance; eps inside the sqrt.
+    torch uses biased variance; eps inside the sqrt. Statistics are
+    computed in float32 regardless of the activation dtype (bf16 spatial
+    reductions lose too many mantissa bits); the result keeps x's dtype,
+    so the bf16 fast path stays bf16 end to end.
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def prelu_init(dtype=jnp.float32):

@@ -48,22 +48,42 @@ def _frame_body(
     lambda_value: float,
     sigma_color: float,
     use_pallas: bool | None,
+    compute_dtype=None,
 ):
     """The whole per-frame device computation (shared by the jitted
-    per-frame step and the whole-clip scan)."""
+    per-frame step and the whole-clip scan).
+
+    compute_dtype="bfloat16" runs the network stages (VGG, WarpNet,
+    ColorVidNet) at bf16; the caller must also pass bf16 params and a
+    bf16-prepared ref_state (build_params --bf16 / _device_ref_features
+    with the same compute_dtype). Pre/post-processing, the recurrent carry
+    and the FGS stay fp32. MEASURED NOT FASTER on v5e (153 vs 164 fps,
+    2026-08-16): XLA already feeds fp32 convs through the MXU's bf16
+    passes, and the fp32 full-resolution pre/post stages dominate the HBM
+    bytes — kept as a cheap re-test hook for other chips, off by default.
+    """
     lab_large, lab_small = _preprocess_device(rgb_u8)
+
+    if compute_dtype is not None:
+        dt = jnp.dtype(compute_dtype)
+        net_in = lab_small.astype(dt)
+        net_last = last_lab.astype(dt)
+        net_ref = ref_state
+    else:
+        net_in, net_last, net_ref = lab_small, last_lab, ref_state
 
     pred_ab, _warped, _sim, _ = frame_colorization(
         params,
-        lab_small,
+        net_in,
         None,  # exemplar Lab unused when ref_embedding is given
-        last_lab,
-        ref_state["features"],
+        net_last,
+        net_ref["features"],
         temperature=temperature,
         joint_training=False,
         use_pallas=use_pallas,
-        ref_embedding=(ref_state["phi"], ref_state["values"]),
+        ref_embedding=(net_ref["phi"], net_ref["values"]),
     )
+    pred_ab = pred_ab.astype(jnp.float32)
     new_last = jnp.concatenate([lab_small[..., 0:1], pred_ab], axis=-1)
 
     # upsample x2 + 1.25 chroma boost (reference test.py:100-102)
@@ -90,7 +110,8 @@ def _frame_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("temperature", "wls", "lambda_value", "sigma_color", "use_pallas"),
+    static_argnames=("temperature", "wls", "lambda_value", "sigma_color",
+                     "use_pallas", "compute_dtype"),
 )
 def _device_frame_step(
     params,
@@ -103,15 +124,18 @@ def _device_frame_step(
     lambda_value: float = 500.0,
     sigma_color: float = 4.0,
     use_pallas: bool | None = None,
+    compute_dtype=None,
 ):
     """One frame, fully on device. Returns (rgb_out_u8, new_last_lab)."""
     return _frame_body(params, rgb_u8, last_lab, ref_state, temperature,
-                       wls, lambda_value, sigma_color, use_pallas)
+                       wls, lambda_value, sigma_color, use_pallas,
+                       compute_dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("temperature", "wls", "lambda_value", "sigma_color", "use_pallas"),
+    static_argnames=("temperature", "wls", "lambda_value", "sigma_color",
+                     "use_pallas", "compute_dtype"),
 )
 def _device_chunk_scan(
     params,
@@ -123,6 +147,7 @@ def _device_chunk_scan(
     lambda_value: float = 500.0,
     sigma_color: float = 4.0,
     use_pallas: bool | None = None,
+    compute_dtype=None,
 ):
     """K frames as one lax.scan program (zero per-frame dispatch).
 
@@ -134,7 +159,7 @@ def _device_chunk_scan(
     def step(last, rgb_u8):
         out, new_last = _frame_body(
             params, rgb_u8, last, ref_state, temperature,
-            wls, lambda_value, sigma_color, use_pallas,
+            wls, lambda_value, sigma_color, use_pallas, compute_dtype,
         )
         return new_last, out
 
@@ -217,12 +242,16 @@ def _device_frame_step_multi(
     )
 
 
-@jax.jit
-def _device_ref_features(params, ref_rgb_u8):
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _device_ref_features(params, ref_rgb_u8, compute_dtype=None):
     """Exemplar prep, once per clip (reference test.py:57-66): VGG features
     plus the WarpNet key embedding (phi, values)."""
     _, ref_lab_small = _preprocess_device(ref_rgb_u8)
-    ref_state = prepare_reference(params, ref_lab_small)
+    if compute_dtype is not None:
+        ref_lab_small_net = ref_lab_small.astype(jnp.dtype(compute_dtype))
+    else:
+        ref_lab_small_net = ref_lab_small
+    ref_state = prepare_reference(params, ref_lab_small_net)
     return ref_lab_small, ref_state
 
 
@@ -389,6 +418,7 @@ def colorize_video(
     mode: str = "stream",
     chunk: int = 16,
     out_ext: str = "jpg",
+    compute_dtype=None,
 ):
     """Colorize every frame of clip_dir with the exemplar at ref_path.
 
@@ -411,7 +441,9 @@ def colorize_video(
 
     ref_file = os.path.join(clip_dir, names[0]) if frame_propagate else ref_path
     ref_rgb = load_frame_rgb(ref_file, image_size)
-    ref_lab_small, ref_state = _device_ref_features(params, jnp.array(ref_rgb))
+    ref_lab_small, ref_state = _device_ref_features(
+        params, jnp.array(ref_rgb), compute_dtype=compute_dtype
+    )
 
     h2, w2 = image_size[0] // 2, image_size[1] // 2
     if frame_propagate:
@@ -472,6 +504,7 @@ def colorize_video(
                     lambda_value=lambda_value,
                     sigma_color=sigma_color,
                     use_pallas=use_pallas,
+                    compute_dtype=compute_dtype,
                 )
                 outs = np.asarray(outs)
                 for i in range(valid):
@@ -494,6 +527,7 @@ def colorize_video(
                 lambda_value=lambda_value,
                 sigma_color=sigma_color,
                 use_pallas=use_pallas,
+                compute_dtype=compute_dtype,
             )
             write_q.put((idx, np.asarray(rgb_out)))
             idx += 1

@@ -198,6 +198,34 @@ def test_multi_ref_matches_serial(params, tmp_path, rng):
             assert np.abs(a - b).max() <= 30
 
 
+def test_bf16_compute_dtype_path_runs(params, tmp_path, rng):
+    """The opt-in bf16 network path must produce sane uint8 frames and a
+    float32 carry (numerically it differs from fp32 by design; measured
+    not faster on v5e — kept as a re-test hook, pipeline/video.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from devc_tpu.pipeline.video import (
+        _device_frame_step,
+        _device_ref_features,
+    )
+
+    h, w = 64, 128
+    params_bf = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    frame = jnp.asarray((rng.rand(h, w, 3) * 255).astype(np.uint8))
+    ref = jnp.asarray((rng.rand(h, w, 3) * 255).astype(np.uint8))
+    rls, rs = _device_ref_features(params_bf, ref, compute_dtype="bfloat16")
+    assert rs["phi"].dtype == jnp.bfloat16
+    last = jnp.zeros((1, h // 2, w // 2, 3), jnp.float32)
+    out, new_last = _device_frame_step(
+        params_bf, frame, last, rls, rs, temperature=0.01, wls=True,
+        use_pallas=False, compute_dtype="bfloat16",
+    )
+    assert out.dtype == jnp.uint8 and out.shape == (h, w, 3)
+    assert new_last.dtype == jnp.float32
+    assert np.asarray(out).std() > 1.0
+
+
 def test_multi_ref_drops_corrupt_exemplar(params, tmp_path, rng):
     """One corrupt exemplar must be skipped with a warning, not abort the
     batch (reference test.py:179-181 per-reference fault tolerance)."""
