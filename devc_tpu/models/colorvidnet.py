@@ -78,9 +78,16 @@ def _c(params, name, x, relu=True):
 
 
 def _down(params, name, x):
-    """Learned per-channel 1x1 stride-2 downsample (the *_ss convs)."""
+    """Learned per-channel 1x1 stride-2 downsample (the *_ss convs).
+
+    A fully-depthwise 1x1 stride-2 conv IS a strided slice times a
+    per-channel scalar — expressed that way directly so XLA fuses it into
+    the neighboring elementwise chain instead of lowering a C-group conv
+    of 1x1x1 matmuls (identical values: out[b,i,j,c] = w[c]*x[b,2i,2j,c]).
+    """
     ci, co, ks, g, b, d = _CONVS[name]
-    return conv2d(params[name], x, stride=2, groups=g)
+    w = params[name]["w"]  # HWIO [1, 1, 1, C]
+    return x[:, ::2, ::2, :] * w.reshape(1, 1, 1, co).astype(x.dtype)
 
 
 def colorvidnet_apply(params, x):

@@ -136,6 +136,36 @@ def test_prefetch_loader_backpressure():
     assert state["max_inflight"] <= bound, state
 
 
+def test_prefetch_loader_long_run_flat_memory():
+    """5k-step run with a slow-ish consumer: RSS must stay flat (the r1
+    loader submitted every batch's future up front — a 10k-step run OOM'd
+    by construction)."""
+    import resource
+
+    class TinyDS:
+        def __len__(self):
+            return 100
+
+        def get(self, idx, rng):
+            return dict(x=np.zeros((256,), np.float32))  # 1 KB
+
+    steps = 5000
+    loader = PrefetchLoader([TinyDS()], batch_size=4, steps=steps,
+                            workers=2, prefetch=2)
+    it = iter(loader)
+    for _ in range(50):  # warm allocator
+        next(it)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    n = 50
+    for b in it:
+        n += 1
+    assert n == steps
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss in KB on linux; all 5k batches materialized at once would
+    # be >20 MB of arrays + object overhead — require near-zero growth
+    assert rss1 - rss0 < 50 * 1024, (rss0, rss1)
+
+
 @pytest.fixture
 def imagenet_root(tmp_path):
     rng = np.random.RandomState(0)
