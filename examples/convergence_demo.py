@@ -1,0 +1,173 @@
+"""Training convergence demo: overfit a mini dataset and verify that the
+losses decrease.
+
+The image ships no training dataset (the reference trains on videos +
+ImageNet retrievals that are external downloads), so this demo synthesizes
+an ImageNet-style pairs dataset from any folder tree of color images —
+default: the 34 color exemplar images the reference ships under
+sample_videos/ref/ — and runs the real training CLI (cli.train) on it.
+That exercises the full stack end to end exactly as a real run would:
+ImageNetPairsDataset (elastic-flow synthetic second frames,
+photoconsistency masks, self-reference augmentation), PrefetchLoader,
+the jitted GAN train step with every loss, checkpointing, and metrics.
+
+Usage:
+  python examples/convergence_demo.py [--steps 200] [--batch 8]
+      [--image-size 216 384] [--workdir /tmp/devc_convergence]
+
+Prints a per-loss first-vs-last comparison (moving-average smoothed) and
+exits nonzero if the total generator loss did not decrease. Results from
+a real run are recorded in docs/CONVERGENCE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from PIL import Image
+
+DEFAULT_SRC = "/root/reference/sample_videos/ref"
+
+
+def build_pairs_dataset(src_root: str, dst_root: str, min_side: int = 256):
+    """Folder tree of color images -> ImageNetPairsDataset layout.
+
+    Images within the same source subdirectory are consecutive-paired (they
+    are exemplars of the same scene, so the pair is a plausible retrieval —
+    the role pairs.txt plays in the reference, lib/videoloader_imagenet.py
+    parses <nameA>.JPEG <nameB>.JPEG <score> lines).
+    """
+    scene_dir = os.path.join(dst_root, "scene0")
+    input_dir = os.path.join(scene_dir, "input")
+    if os.path.exists(dst_root):
+        shutil.rmtree(dst_root)
+    os.makedirs(input_dir)
+
+    groups = []
+    for sub in sorted(os.listdir(src_root)):
+        d = os.path.join(src_root, sub)
+        if not os.path.isdir(d):
+            continue
+        names = []
+        for p in sorted(glob.glob(os.path.join(d, "*"))):
+            try:
+                with Image.open(p) as im:
+                    if min(im.size) < min_side or im.mode != "RGB":
+                        continue
+                    name = f"{sub}_{os.path.splitext(os.path.basename(p))[0]}"
+                    im.convert("RGB").save(
+                        os.path.join(input_dir, name + ".JPEG"), quality=95
+                    )
+                    names.append(name)
+            except Exception:
+                continue
+        if len(names) >= 2:
+            groups.append(names)
+
+    n_pairs = 0
+    with open(os.path.join(scene_dir, "pairs.txt"), "w") as f:
+        for names in groups:
+            for a, b in zip(names, names[1:]):
+                f.write(f"{a}.JPEG {b}.JPEG 1.0\n")
+                n_pairs += 1
+    if n_pairs == 0:
+        raise SystemExit(f"no usable image pairs under {src_root}")
+    return n_pairs
+
+
+def smoothed(vals, k):
+    # first-vs-last windows must not overlap, or short runs compare a
+    # window with itself
+    k = max(1, min(k, len(vals) // 2))
+    return sum(vals[:k]) / k, sum(vals[-k:]) / k
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--src", default=DEFAULT_SRC)
+    ap.add_argument("--workdir", default="/tmp/devc_convergence")
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--image-size", type=int, nargs=2, default=[216, 384])
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--summary-out", default=None,
+                    help="write the first-vs-last loss table as JSON here")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    from devc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    data_root = os.path.join(args.workdir, "data")
+    n_pairs = build_pairs_dataset(args.src, data_root)
+    print(f"mini dataset: {n_pairs} pairs at {data_root}")
+
+    log_dir = os.path.join(args.workdir, "runs")
+    shutil.rmtree(log_dir, ignore_errors=True)
+
+    from cli.train import main as train_main
+
+    train_main([
+        "--data_root_imagenet", data_root,
+        "--batch_size", str(args.batch),
+        "--max_steps", str(args.steps),
+        "--image_size", str(args.image_size[0]), str(args.image_size[1]),
+        "--workers", str(args.workers),
+        "--checkpoint_dir", os.path.join(args.workdir, "ckpt"),
+        "--checkpoint_step", str(args.steps),
+        "--log_dir", log_dir,
+        "--print_step", "1",
+        "--seed", "0",
+    ])
+
+    # ---- summarize ----
+    records = []
+    with open(os.path.join(log_dir, "metrics.jsonl")) as f:
+        for line in f:
+            records.append(json.loads(line))
+    records.sort(key=lambda r: r["step"])
+    keys = [
+        "total_loss", "l1_loss", "generator_loss", "discriminator_loss",
+        "feat_loss", "contextual_loss_total", "smoothness_loss",
+        "consistent_loss",
+    ]
+    window = max(5, len(records) // 10)
+    print(f"\n=== convergence over {len(records)} logged steps "
+          f"(moving avg, window {window}) ===")
+    summary = {"steps": len(records), "window": window, "losses": {}}
+    ok = True
+    for k in keys:
+        vals = [r[k] for r in records if k in r]
+        if not vals:
+            continue
+        first, last = smoothed(vals, window)
+        delta = last - first
+        summary["losses"][k] = {"first": first, "last": last}
+        marker = "v" if delta < 0 else "^"
+        print(f"  {k:>22}: {first:10.4f} -> {last:10.4f}  ({marker})")
+        if k == "total_loss" and not (last < first):
+            ok = False
+    if args.summary_out:
+        with open(args.summary_out, "w") as f:
+            json.dump(summary, f, indent=1)
+    if not ok:
+        print("FAIL: total_loss did not decrease")
+        return 1
+    print("OK: total_loss decreased")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
