@@ -16,9 +16,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # 8 virtual devices share this image's ONE physical core, so devices
+    # reach a collective minutes apart; the default 20s/40s rendezvous
+    # timeouts abort the whole process (SIGABRT in rendezvous.cc) on any
+    # cross-device collective (e.g. the train step's batch-roll permute).
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
