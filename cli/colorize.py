@@ -79,6 +79,10 @@ def main(argv=None):
                         "frames as one lax.scan program")
     p.add_argument("--chunk", type=int, default=16,
                    help="frames per scan program (mode=scan)")
+    p.add_argument("--device_resize", action="store_true",
+                   help="run the CenterPad anti-aliased resize on device "
+                        "as matmuls (host keeps only JPEG decode; needs a "
+                        "uniform clip resolution; <=1 uint8 deviation)")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu", "axon"],
                    help="force a JAX backend (this image pins 'axon')")
@@ -166,6 +170,7 @@ def main(argv=None):
                 mode=args.mode,
                 chunk=args.chunk,
                 compute_dtype="bfloat16" if args.bf16 else None,
+                device_resize=args.device_resize,
             )
         except Exception as err:  # keep going per exemplar (reference
             print(f"  error colorizing with {ref}: {err}")  # test.py:179-181)

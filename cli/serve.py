@@ -6,7 +6,9 @@ submitted as JSON lines.
 Protocol (stdin -> stdout, one JSON object per line):
 
   {"clip_path": "...", "ref_path": "...", "output_path": "...",
-   "frame_propagate": false, "wls": true}          # a job
+   "frame_propagate": false, "wls": true,
+   "mode": "stream"|"scan", "chunk": 16,
+   "device_resize": false}                         # a job
   {"cmd": "batch", "slots": 4,
    "jobs": [{"clip_path": ..., "ref_path": ..., "output_path": ...}, ...]}
                                                    # many clips, batched on
@@ -147,6 +149,9 @@ def main(argv=None):
                 wls=bool(job.get("wls", True)),
                 frame_propagate=bool(job.get("frame_propagate", False)),
                 write_video=bool(job.get("write_video", False)),
+                mode=job.get("mode", "stream"),
+                chunk=int(job.get("chunk", 16)),
+                device_resize=bool(job.get("device_resize", False)),
             )
             dt = time.time() - t0
             print(

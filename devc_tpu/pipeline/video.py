@@ -24,6 +24,7 @@ from PIL import Image
 
 from devc_tpu import colorspace as cs
 from devc_tpu.data.transforms import load_frame_rgb, sort_frames_numerically
+from devc_tpu.ops.device_resize import centerpad_plan, device_centerpad
 from devc_tpu.ops.fgs import fast_global_smoother
 from devc_tpu.ops.resize import resize_bilinear
 from devc_tpu.pipeline.frame import frame_colorization, prepare_reference
@@ -49,6 +50,7 @@ def _frame_body(
     sigma_color: float,
     use_pallas: bool | None,
     compute_dtype=None,
+    resize_plan=None,
 ):
     """The whole per-frame device computation (shared by the jitted
     per-frame step and the whole-clip scan).
@@ -61,7 +63,13 @@ def _frame_body(
     2026-08-16): XLA already feeds fp32 convs through the MXU's bf16
     passes, and the fp32 full-resolution pre/post stages dominate the HBM
     bytes — kept as a cheap re-test hook for other chips, off by default.
+
+    resize_plan=(A_h, A_w) moves the host CenterPad onto the device
+    (ops/device_resize.py): rgb_u8 is then the RAW decoded frame and the
+    anti-aliased resize + crop runs as two matmuls inside this program.
     """
+    if resize_plan is not None:
+        rgb_u8 = device_centerpad(rgb_u8, *resize_plan)
     lab_large, lab_small = _preprocess_device(rgb_u8)
 
     if compute_dtype is not None:
@@ -125,11 +133,12 @@ def _device_frame_step(
     sigma_color: float = 4.0,
     use_pallas: bool | None = None,
     compute_dtype=None,
+    resize_plan=None,
 ):
     """One frame, fully on device. Returns (rgb_out_u8, new_last_lab)."""
     return _frame_body(params, rgb_u8, last_lab, ref_state, temperature,
                        wls, lambda_value, sigma_color, use_pallas,
-                       compute_dtype)
+                       compute_dtype, resize_plan)
 
 
 @functools.partial(
@@ -148,6 +157,7 @@ def _device_chunk_scan(
     sigma_color: float = 4.0,
     use_pallas: bool | None = None,
     compute_dtype=None,
+    resize_plan=None,
 ):
     """K frames as one lax.scan program (zero per-frame dispatch).
 
@@ -160,6 +170,7 @@ def _device_chunk_scan(
         out, new_last = _frame_body(
             params, rgb_u8, last, ref_state, temperature,
             wls, lambda_value, sigma_color, use_pallas, compute_dtype,
+            resize_plan,
         )
         return new_last, out
 
@@ -419,6 +430,7 @@ def colorize_video(
     chunk: int = 16,
     out_ext: str = "jpg",
     compute_dtype=None,
+    device_resize: bool = False,
 ):
     """Colorize every frame of clip_dir with the exemplar at ref_path.
 
@@ -432,12 +444,41 @@ def colorize_video(
     mode="scan": frames processed `chunk` at a time as one lax.scan program
     (zero per-frame dispatch; the carry crosses chunk boundaries).
 
+    device_resize=True moves the host CenterPad (the ~55 ms/frame exact
+    anti-aliased resize) onto the device as two matmuls
+    (ops/device_resize.py); the host keeps only JPEG decode. Requires all
+    clip frames to share one resolution. Output deviates from the host
+    path by at most 1 uint8 step on truncation ties (f32 accumulation).
+
     Returns the list of written frame paths.
     """
     os.makedirs(output_dir, exist_ok=True)
     names = list_clip_frames(clip_dir)
     if not names:
         raise ValueError(f"no frames found in {clip_dir}")
+
+    resize_plan = None
+    if device_resize:
+        first = np.asarray(
+            Image.open(os.path.join(clip_dir, names[0])).convert("RGB")
+        )
+        src_hw = first.shape[:2]
+        if src_hw == tuple(image_size):
+            device_resize = False  # already at target size: nothing to do
+        else:
+            a_h, a_w = centerpad_plan(src_hw, image_size)
+            resize_plan = (jnp.asarray(a_h), jnp.asarray(a_w))
+
+    def _load(path):
+        if not device_resize:
+            return load_frame_rgb(path, image_size)
+        raw = np.asarray(Image.open(path).convert("RGB"))
+        if raw.shape[:2] != src_hw:
+            raise ValueError(
+                f"device_resize needs a uniform clip resolution; "
+                f"{path} is {raw.shape[:2]}, first frame was {src_hw}"
+            )
+        return raw
 
     ref_file = os.path.join(clip_dir, names[0]) if frame_propagate else ref_path
     ref_rgb = load_frame_rgb(ref_file, image_size)
@@ -455,8 +496,11 @@ def colorize_video(
     frame_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
     def reader():
-        for name in names:
-            frame_q.put(load_frame_rgb(os.path.join(clip_dir, name), image_size))
+        try:
+            for name in names:
+                frame_q.put(_load(os.path.join(clip_dir, name)))
+        except Exception as e:  # surface decode errors in the main thread
+            frame_q.put(e)
         frame_q.put(None)
 
     threading.Thread(target=reader, daemon=True).start()
@@ -486,6 +530,10 @@ def colorize_video(
         done = False
         while not done:
             rgb = frame_q.get()
+            if isinstance(rgb, Exception):
+                write_q.put(None)
+                wt.join()
+                raise rgb
             if rgb is None:
                 done = True
             else:
@@ -505,6 +553,7 @@ def colorize_video(
                     sigma_color=sigma_color,
                     use_pallas=use_pallas,
                     compute_dtype=compute_dtype,
+                    resize_plan=resize_plan,
                 )
                 outs = np.asarray(outs)
                 for i in range(valid):
@@ -516,6 +565,10 @@ def colorize_video(
             rgb = frame_q.get()
             if rgb is None:
                 break
+            if isinstance(rgb, Exception):
+                write_q.put(None)
+                wt.join()
+                raise rgb
             rgb_out, last_lab = _device_frame_step(
                 params,
                 jnp.array(rgb),
@@ -528,6 +581,7 @@ def colorize_video(
                 sigma_color=sigma_color,
                 use_pallas=use_pallas,
                 compute_dtype=compute_dtype,
+                resize_plan=resize_plan,
             )
             write_q.put((idx, np.asarray(rgb_out)))
             idx += 1
