@@ -97,8 +97,15 @@ def main(argv=None):
             f"--image_size {h} {w}: H must be a multiple of 16 and W a "
             "multiple of 32 (the reference default is 432 768)"
         )
-    if not os.path.isdir(args.clip_path):
-        p.error(f"--clip_path {args.clip_path}: not a directory")
+    # NOTE: no devc_tpu imports before the jax.config.update below — they
+    # create device constants at import time, which pins the pre-set
+    # backend (axon on this image) and silently defeats --platform.
+    video_exts = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+    clip_is_video = (os.path.isfile(args.clip_path)
+                     and args.clip_path.lower().endswith(video_exts))
+    if not (os.path.isdir(args.clip_path) or clip_is_video):
+        p.error(f"--clip_path {args.clip_path}: not a directory or a "
+                "video file (.mp4/.avi/.mov/.mkv/.webm)")
     if not os.path.exists(args.ref_path):
         p.error(f"--ref_path {args.ref_path}: does not exist")
 
@@ -113,7 +120,9 @@ def main(argv=None):
     from devc_tpu.pipeline.video import colorize_video
 
     params = build_params(args)
-    clip_name = os.path.basename(os.path.normpath(args.clip_path))
+    clip_name = os.path.splitext(
+        os.path.basename(os.path.normpath(args.clip_path))
+    )[0]
 
     if os.path.isdir(args.ref_path):
         refs = sorted(os.listdir(args.ref_path))
@@ -121,7 +130,8 @@ def main(argv=None):
     else:
         refs = [args.ref_path]
 
-    if len(refs) > 1 and not args.serial_refs and not args.frame_propagate:
+    if (len(refs) > 1 and not args.serial_refs and not args.frame_propagate
+            and not clip_is_video):  # multi-ref batching needs a frame dir
         from devc_tpu.pipeline.video import colorize_video_multi
 
         out_dirs = [
@@ -144,6 +154,7 @@ def main(argv=None):
             wls=not args.no_wls,
             use_pallas=False if args.no_pallas else None,
             write_video=not args.no_video,
+            device_resize=args.device_resize,
         )
         dt = time.time() - t0
         n = sum(len(w) for w in written)

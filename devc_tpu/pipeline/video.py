@@ -193,6 +193,7 @@ def _device_frame_step_multi(
     lambda_value: float = 500.0,
     sigma_color: float = 4.0,
     use_pallas: bool | None = None,
+    resize_plan=None,
 ):
     """One frame against R exemplars at once.
 
@@ -208,6 +209,8 @@ def _device_frame_step_multi(
     from devc_tpu.pipeline.frame import FEATURE_TAPS
 
     r = last_lab.shape[0]
+    if resize_plan is not None:
+        rgb_u8 = device_centerpad(rgb_u8, *resize_plan)
     lab_large, lab_small = _preprocess_device(rgb_u8)
     a_l = lab_small[..., 0:1]
 
@@ -290,17 +293,45 @@ def colorize_video_multi(
     use_pallas: bool | None = None,
     write_video: bool = True,
     prefetch: int = 4,
+    device_resize: bool = False,
 ):
     """Colorize one clip against R exemplars in a single pass.
 
     Decodes each frame once and batches the exemplar dimension on device
     (the reference re-runs the whole pipeline per exemplar). Returns a list
     of per-reference lists of written frame paths.
+
+    device_resize=True: as in colorize_video — the CenterPad runs on
+    device, the host only decodes (uniform clip resolution required).
     """
     assert len(ref_paths) == len(output_dirs) and ref_paths
     names = list_clip_frames(clip_dir)
     if not names:
         raise ValueError(f"no frames found in {clip_dir}")
+
+    resize_plan = None
+    src_hw = None
+    if device_resize:
+        first = np.asarray(
+            Image.open(os.path.join(clip_dir, names[0])).convert("RGB")
+        )
+        src_hw = first.shape[:2]
+        if src_hw == tuple(image_size):
+            device_resize = False
+        else:
+            a_h, a_w = centerpad_plan(src_hw, image_size)
+            resize_plan = (jnp.asarray(a_h), jnp.asarray(a_w))
+
+    def _load_frame(path):
+        if not device_resize:
+            return load_frame_rgb(path, image_size)
+        raw = np.asarray(Image.open(path).convert("RGB"))
+        if raw.shape[:2] != src_hw:
+            raise ValueError(
+                f"device_resize needs a uniform clip resolution; "
+                f"{path} is {raw.shape[:2]}, first frame was {src_hw}"
+            )
+        return raw
 
     # Per-exemplar fault tolerance (reference test.py:179-181 swallows
     # errors per reference): decode every exemplar up front, drop the ones
@@ -332,8 +363,11 @@ def colorize_video_multi(
     frame_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
     def reader():
-        for name in names:
-            frame_q.put(load_frame_rgb(os.path.join(clip_dir, name), image_size))
+        try:
+            for name in names:
+                frame_q.put(_load_frame(os.path.join(clip_dir, name)))
+        except Exception as e:  # surface decode errors in the main thread
+            frame_q.put(e)
         frame_q.put(None)
 
     threading.Thread(target=reader, daemon=True).start()
@@ -360,6 +394,10 @@ def colorize_video_multi(
         rgb = frame_q.get()
         if rgb is None:
             break
+        if isinstance(rgb, Exception):
+            write_q.put(None)
+            wt.join()
+            raise rgb
         rgb_out, last_lab = _device_frame_step_multi(
             params,
             jnp.asarray(rgb),
@@ -371,6 +409,7 @@ def colorize_video_multi(
             lambda_value=lambda_value,
             sigma_color=sigma_color,
             use_pallas=use_pallas,
+            resize_plan=resize_plan,
         )
         write_q.put((idx, np.asarray(rgb_out)))
         idx += 1
@@ -391,6 +430,38 @@ def list_clip_frames(clip_dir: str):
         if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
     ]
     return sort_frames_numerically(names)
+
+
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+def is_video_file(path: str) -> bool:
+    return os.path.isfile(path) and path.lower().endswith(VIDEO_EXTS)
+
+
+def _video_frames_rgb(path: str):
+    """Stream uint8 RGB frames from a video file (cv2 decode)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise ValueError(f"cannot open video file {path}")
+    try:
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                return
+            yield np.ascontiguousarray(bgr[..., ::-1])
+    finally:
+        cap.release()
+
+
+def _centerpad_np(arr_u8: np.ndarray, size) -> np.ndarray:
+    """Host CenterPad + crop on a decoded uint8 RGB array."""
+    from devc_tpu.data.transforms import center_crop, center_pad
+
+    img = center_pad(Image.fromarray(arr_u8), size)
+    return center_crop(np.asarray(img, dtype=np.uint8), size)
 
 
 def folder_to_video(image_folder: str, output_path: str, fps: int = 24):
@@ -450,38 +521,67 @@ def colorize_video(
     clip frames to share one resolution. Output deviates from the host
     path by at most 1 uint8 step on truncation ties (f32 accumulation).
 
+    clip_dir may also be a video FILE (.mp4/.avi/.mov/.mkv/.webm): frames
+    are then cv2-decoded in stream order (the reference only accepts
+    frame folders, test.py:39-41).
+
     Returns the list of written frame paths.
     """
     os.makedirs(output_dir, exist_ok=True)
-    names = list_clip_frames(clip_dir)
-    if not names:
-        raise ValueError(f"no frames found in {clip_dir}")
+    video_input = is_video_file(clip_dir)
+    first_raw = None
+    if video_input:
+        frame_iter = _video_frames_rgb(clip_dir)
+        first_raw = next(frame_iter, None)
+        if first_raw is None:
+            raise ValueError(f"no frames decoded from {clip_dir}")
+    else:
+        names = list_clip_frames(clip_dir)
+        if not names:
+            raise ValueError(f"no frames found in {clip_dir}")
 
     resize_plan = None
+    src_hw = None
     if device_resize:
-        first = np.asarray(
-            Image.open(os.path.join(clip_dir, names[0])).convert("RGB")
-        )
-        src_hw = first.shape[:2]
+        if first_raw is None:
+            first_raw = np.asarray(
+                Image.open(os.path.join(clip_dir, names[0])).convert("RGB")
+            )
+        src_hw = first_raw.shape[:2]
         if src_hw == tuple(image_size):
             device_resize = False  # already at target size: nothing to do
         else:
             a_h, a_w = centerpad_plan(src_hw, image_size)
             resize_plan = (jnp.asarray(a_h), jnp.asarray(a_w))
 
-    def _load(path):
+    def _frames_raw():
+        if video_input:
+            yield first_raw
+            yield from frame_iter
+        else:
+            for name in names:
+                yield np.asarray(
+                    Image.open(os.path.join(clip_dir, name)).convert("RGB")
+                )
+
+    def _prep(arr):
         if not device_resize:
-            return load_frame_rgb(path, image_size)
-        raw = np.asarray(Image.open(path).convert("RGB"))
-        if raw.shape[:2] != src_hw:
+            return _centerpad_np(arr, image_size)
+        if arr.shape[:2] != src_hw:
             raise ValueError(
                 f"device_resize needs a uniform clip resolution; "
-                f"{path} is {raw.shape[:2]}, first frame was {src_hw}"
+                f"got {arr.shape[:2]}, first frame was {src_hw}"
             )
-        return raw
+        return arr
 
-    ref_file = os.path.join(clip_dir, names[0]) if frame_propagate else ref_path
-    ref_rgb = load_frame_rgb(ref_file, image_size)
+    if frame_propagate:
+        if first_raw is None:
+            first_raw = np.asarray(
+                Image.open(os.path.join(clip_dir, names[0])).convert("RGB")
+            )
+        ref_rgb = _centerpad_np(first_raw, image_size)
+    else:
+        ref_rgb = load_frame_rgb(ref_path, image_size)
     ref_lab_small, ref_state = _device_ref_features(
         params, jnp.array(ref_rgb), compute_dtype=compute_dtype
     )
@@ -497,8 +597,8 @@ def colorize_video(
 
     def reader():
         try:
-            for name in names:
-                frame_q.put(_load(os.path.join(clip_dir, name)))
+            for arr in _frames_raw():
+                frame_q.put(_prep(arr))
         except Exception as e:  # surface decode errors in the main thread
             frame_q.put(e)
         frame_q.put(None)
