@@ -151,6 +151,18 @@ def test_elastic_flow_smoothness(rng):
     assert np.abs(np.diff(dx, axis=0)).max() < 5.0
 
 
+def test_fft_gaussian_blur_matches_scipy():
+    """The FFT path of _gaussian_blur_constant is the same zero-padded
+    truncated-kernel operator scipy.ndimage applies directly."""
+    from scipy.ndimage import gaussian_filter
+
+    x = np.random.RandomState(7).rand(96, 128) * 2 - 1
+    for sigma in (8.0, 20.0, 50.0):
+        ref = gaussian_filter(x, sigma, mode="constant", cval=0)
+        got = D._gaussian_blur_constant(x, sigma)
+        assert np.abs(ref - got).max() < 1e-12
+
+
 def test_flow_to_color_properties(rng):
     from devc_tpu.data.flow import flow_to_color
 
