@@ -120,9 +120,9 @@ def main(argv=None):
     from devc_tpu.pipeline.video import colorize_video
 
     params = build_params(args)
-    clip_name = os.path.splitext(
-        os.path.basename(os.path.normpath(args.clip_path))
-    )[0]
+    clip_name = os.path.basename(os.path.normpath(args.clip_path))
+    if clip_is_video:  # strip the container extension, keep dir names as-is
+        clip_name = os.path.splitext(clip_name)[0]
 
     if os.path.isdir(args.ref_path):
         refs = sorted(os.listdir(args.ref_path))

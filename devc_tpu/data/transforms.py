@@ -125,12 +125,16 @@ def center_crop(arr: np.ndarray, size):
     return arr[top : top + th, left : left + tw]
 
 
+def centerpad_np(arr_u8: np.ndarray, size) -> np.ndarray:
+    """CenterPad + CenterCrop on a decoded uint8 RGB array."""
+    img = center_pad(Image.fromarray(arr_u8), size)
+    return center_crop(np.asarray(img, dtype=np.uint8), size)
+
+
 def load_frame_rgb(path: str, size) -> np.ndarray:
     """Decode + CenterPad + CenterCrop -> uint8 RGB [H, W, 3]."""
-    img = Image.open(path).convert("RGB")
-    img = center_pad(img, size)
-    arr = np.asarray(img, dtype=np.uint8)
-    return center_crop(arr, size)
+    img = center_pad(Image.open(path).convert("RGB"), size)
+    return center_crop(np.asarray(img, dtype=np.uint8), size)
 
 
 # --- numpy color helpers (used by the training data path; the inference

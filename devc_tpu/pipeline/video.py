@@ -23,7 +23,11 @@ import numpy as np
 from PIL import Image
 
 from devc_tpu import colorspace as cs
-from devc_tpu.data.transforms import load_frame_rgb, sort_frames_numerically
+from devc_tpu.data.transforms import (
+    centerpad_np,
+    load_frame_rgb,
+    sort_frames_numerically,
+)
 from devc_tpu.ops.device_resize import centerpad_plan, device_centerpad
 from devc_tpu.ops.fgs import fast_global_smoother
 from devc_tpu.ops.resize import resize_bilinear
@@ -456,12 +460,6 @@ def _video_frames_rgb(path: str):
         cap.release()
 
 
-def _centerpad_np(arr_u8: np.ndarray, size) -> np.ndarray:
-    """Host CenterPad + crop on a decoded uint8 RGB array."""
-    from devc_tpu.data.transforms import center_crop, center_pad
-
-    img = center_pad(Image.fromarray(arr_u8), size)
-    return center_crop(np.asarray(img, dtype=np.uint8), size)
 
 
 def folder_to_video(image_folder: str, output_path: str, fps: int = 24):
@@ -527,6 +525,8 @@ def colorize_video(
 
     Returns the list of written frame paths.
     """
+    if mode not in ("stream", "scan"):
+        raise ValueError(f"unknown mode {mode!r} (expected 'stream' or 'scan')")
     os.makedirs(output_dir, exist_ok=True)
     video_input = is_video_file(clip_dir)
     first_raw = None
@@ -554,19 +554,7 @@ def colorize_video(
             a_h, a_w = centerpad_plan(src_hw, image_size)
             resize_plan = (jnp.asarray(a_h), jnp.asarray(a_w))
 
-    def _frames_raw():
-        if video_input:
-            yield first_raw
-            yield from frame_iter
-        else:
-            for name in names:
-                yield np.asarray(
-                    Image.open(os.path.join(clip_dir, name)).convert("RGB")
-                )
-
-    def _prep(arr):
-        if not device_resize:
-            return _centerpad_np(arr, image_size)
+    def _check_uniform(arr):
         if arr.shape[:2] != src_hw:
             raise ValueError(
                 f"device_resize needs a uniform clip resolution; "
@@ -574,12 +562,30 @@ def colorize_video(
             )
         return arr
 
+    def _frames_prepped():
+        if video_input:
+            raws = (f for it in ([first_raw], frame_iter) for f in it)
+            if device_resize:
+                yield from (_check_uniform(a) for a in raws)
+            else:
+                yield from (centerpad_np(a, image_size) for a in raws)
+        else:
+            for name in names:
+                path = os.path.join(clip_dir, name)
+                if device_resize:
+                    yield _check_uniform(
+                        np.asarray(Image.open(path).convert("RGB"))
+                    )
+                else:
+                    yield load_frame_rgb(path, image_size)
+
     if frame_propagate:
-        if first_raw is None:
-            first_raw = np.asarray(
-                Image.open(os.path.join(clip_dir, names[0])).convert("RGB")
+        if video_input:
+            ref_rgb = centerpad_np(first_raw, image_size)
+        else:
+            ref_rgb = load_frame_rgb(
+                os.path.join(clip_dir, names[0]), image_size
             )
-        ref_rgb = _centerpad_np(first_raw, image_size)
     else:
         ref_rgb = load_frame_rgb(ref_path, image_size)
     ref_lab_small, ref_state = _device_ref_features(
@@ -597,8 +603,8 @@ def colorize_video(
 
     def reader():
         try:
-            for arr in _frames_raw():
-                frame_q.put(_prep(arr))
+            for frame in _frames_prepped():
+                frame_q.put(frame)
         except Exception as e:  # surface decode errors in the main thread
             frame_q.put(e)
         frame_q.put(None)

@@ -12,13 +12,9 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from devc_tpu.data.transforms import center_crop, center_pad, load_frame_rgb
+from devc_tpu.data.transforms import centerpad_np as _host_ref
+from devc_tpu.data.transforms import load_frame_rgb
 from devc_tpu.ops.device_resize import centerpad_plan, device_centerpad
-
-
-def _host_ref(arr_u8, size):
-    img = center_pad(Image.fromarray(arr_u8), size)
-    return center_crop(np.asarray(img, dtype=np.uint8), size)
 
 
 def _plan_f64(arr_u8, size):

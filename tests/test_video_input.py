@@ -84,6 +84,14 @@ def test_colorize_video_from_file(params, clip_avi, tmp_path, device_resize):
     assert np.abs(arr[..., 0].astype(int) - arr[..., 1].astype(int)).max() > 3
 
 
+def test_unknown_mode_rejected(params, clip_avi, tmp_path):
+    from devc_tpu.pipeline.video import colorize_video
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        colorize_video(params, clip_avi, "", str(tmp_path / "o"),
+                       image_size=(64, 128), mode="Scan")
+
+
 def test_colorize_video_from_file_frame_propagate(params, clip_avi, tmp_path):
     from devc_tpu.pipeline.video import colorize_video
 
