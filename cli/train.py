@@ -53,6 +53,11 @@ def main(argv=None):
     p.add_argument("--vgg_ckpt", type=str, default="data/vgg19_conv.pth")
     p.add_argument("--load_pretrained_model", type=str, nargs=2, default=None,
                    metavar=("WARPNET_PTH", "COLORNET_PTH"))
+    p.add_argument("--device_preprocess", action="store_true",
+                   help="loader ships uint8 RGB + fp16 flows; Lab "
+                        "conversion/jitter/placeholder run inside the "
+                        "jitted train step (~3.7x less host->device "
+                        "transfer and ~60 ms/sample less host work)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n_model", type=int, default=1,
                    help="model-axis size of the mesh")
@@ -94,6 +99,7 @@ def main(argv=None):
                 image_size=args.image_size,
                 real_reference_probability=args.real_reference_probability,
                 nonzero_placeholder_probability=args.nonzero_placeholder_probability,
+                device_preprocess=args.device_preprocess,
             )
         )
     if args.data_root_imagenet:
@@ -105,6 +111,7 @@ def main(argv=None):
                 with_mid=args.with_mid,
                 real_reference_probability=args.real_reference_probability,
                 nonzero_placeholder_probability=args.nonzero_placeholder_probability,
+                device_preprocess=args.device_preprocess,
             )
         )
     if not datasets:
@@ -178,7 +185,8 @@ def main(argv=None):
         contextual_direction=args.contextual_loss_direction,
         use_pallas=jax.default_backend() == "tpu",
     )
-    step_fn = make_train_step(tx_g, tx_d, vgg_params, cfg)
+    step_fn = make_train_step(tx_g, tx_d, vgg_params, cfg,
+                              device_preprocess=args.device_preprocess)
 
     logger = MetricsLogger(args.log_dir)
     img_logger = AsyncImageLogger(logger, render_lab_grids)
@@ -204,10 +212,20 @@ def main(argv=None):
                 )
                 logger.log_scalars(step, m)
             if step % args.tb_log_step == 0:
-                img_logger.put(step, {
-                    "current_gt": batch_np["current_lab"],
-                    "reference": batch_np["ref_lab"],
-                })
+                if args.device_preprocess:
+                    from devc_tpu.data.transforms import (
+                        lab_to_network,
+                        rgb_to_lab_np,
+                    )
+
+                    cur = np.stack([lab_to_network(rgb_to_lab_np(x))
+                                    for x in batch_np["current_rgb"]])
+                    ref = np.stack([lab_to_network(rgb_to_lab_np(x))
+                                    for x in batch_np["ref_rgb"]])
+                else:
+                    cur = batch_np["current_lab"]
+                    ref = batch_np["ref_lab"]
+                img_logger.put(step, {"current_gt": cur, "reference": ref})
             ckpt.save(step, state)
 
     if ckpt.latest_step() != int(state.step):

@@ -89,11 +89,13 @@ class VideoPairsDataset:
         image_size=(216, 384),
         real_reference_probability: float = 0.7,
         nonzero_placeholder_probability: float = 0.0,
+        device_preprocess: bool = False,
     ):
         self.data_root = data_root
         self.image_size = tuple(image_size)
         self.real_reference_probability = real_reference_probability
         self.nonzero_placeholder_probability = nonzero_placeholder_probability
+        self.device_preprocess = device_preprocess
         self.items = self._parse(data_root)
         if not self.items:
             raise RuntimeError(f"no pairs found under {data_root}")
@@ -138,10 +140,8 @@ class VideoPairsDataset:
         p = it["path"]
         size = self.image_size
 
-        i1 = _load_rgb(os.path.join(p, "input_pad", it["image1"]))
-        i2 = _load_rgb(os.path.join(p, "input_pad", it["image2"]))
-        last_lab = _to_network_lab(i1, size)
-        current_lab = _to_network_lab(i2, size)
+        i1_u8 = _center_crop_pad(_load_rgb(os.path.join(p, "input_pad", it["image1"])), size)
+        i2_u8 = _center_crop_pad(_load_rgb(os.path.join(p, "input_pad", it["image2"])), size)
 
         use_real = rng.random_sample() < self.real_reference_probability
         if use_real:
@@ -150,23 +150,37 @@ class VideoPairsDataset:
         else:
             ref_name = it["refs_gt"][rng.randint(len(it["refs_gt"]))]
             ref_img = Image.open(os.path.join(p, "reference_gt", ref_name)).convert("RGB")
-        ref_rgb = np.asarray(center_pad(ref_img, size), dtype=np.uint8)
-        ref_lab = _to_network_lab(ref_rgb, size)
+        ref_rgb = _center_crop_pad(
+            np.asarray(center_pad(ref_img, size), dtype=np.uint8), size
+        )
 
         flow_f = center_crop(read_flo(os.path.join(p, "flow", it["flow_forward"])), size)
         flow_b = center_crop(read_flo(os.path.join(p, "flow", it["flow_backward"])), size)
         mask_u8 = np.asarray(Image.open(os.path.join(p, "mask", it["mask"])))
         mask = center_crop(D.binary_mask_from_image(mask_u8), size)[..., None]
 
-        if use_real:
-            placeholder = np.zeros_like(last_lab)
-            flag = np.zeros((1,), np.float32)
-        else:
-            if rng.random_sample() < self.nonzero_placeholder_probability:
-                placeholder = current_lab.copy()
-            else:
-                placeholder = np.zeros_like(last_lab)
-            flag = np.ones((1,), np.float32)
+        nonzero_ph = (not use_real) and (
+            rng.random_sample() < self.nonzero_placeholder_probability
+        )
+        flag = np.full((1,), 0.0 if use_real else 1.0, np.float32)
+
+        if self.device_preprocess:
+            return dict(
+                last_rgb=i1_u8,
+                current_rgb=i2_u8,
+                ref_rgb=ref_rgb,
+                flow_forward=flow_f.astype(np.float16),
+                flow_backward=flow_b.astype(np.float16),
+                mask=mask.astype(np.uint8),
+                jitter=np.zeros((1,), np.float32),
+                placeholder_flag=np.full((1,), float(nonzero_ph), np.float32),
+                self_ref_flag=flag,
+            )
+
+        last_lab = _to_network_lab(i1_u8)
+        current_lab = _to_network_lab(i2_u8)
+        ref_lab = _to_network_lab(ref_rgb)
+        placeholder = current_lab.copy() if nonzero_ph else np.zeros_like(last_lab)
 
         return dict(
             last_lab=last_lab,
@@ -193,12 +207,14 @@ class ImageNetPairsDataset:
         brightness_jitter: float = 5.0,
         real_reference_probability: float = 0.7,
         nonzero_placeholder_probability: float = 0.0,
+        device_preprocess: bool = False,
     ):
         self.image_size = tuple(image_size)
         self.distortion_level = distortion_level
         self.brightness_jitter = brightness_jitter
         self.real_reference_probability = real_reference_probability
         self.nonzero_placeholder_probability = nonzero_placeholder_probability
+        self.device_preprocess = device_preprocess
         self.items = self._parse(data_root, with_bad, with_mid)
         if not self.items:
             raise RuntimeError(f"no pairs found under {data_root}")
@@ -251,9 +267,9 @@ class ImageNetPairsDataset:
         dx, dy = D.random_elastic_flow(size, self.distortion_level, rng=rng)
         i2_rgb = D.distort_with_flow(i1_rgb, dx, dy)
 
-        last_lab = lab_to_network(rgb_to_lab_np(i1_rgb))
-        current_lab = lab_to_network(rgb_to_lab_np(i2_rgb))
-        current_lab = D.brightness_jitter(current_lab, self.brightness_jitter, rng)
+        # single L-channel offset (reference videoloader_imagenet.py:226);
+        # applied here (host float path) or on device (device_preprocess)
+        jitter = np.float32(rng.randn() * self.brightness_jitter)
 
         flow_forward = np.stack((dy, dx), axis=-1).astype(np.float32)
         flow_backward = np.zeros_like(flow_forward)
@@ -264,7 +280,7 @@ class ImageNetPairsDataset:
             img_b = Image.open(path_b).convert("RGB")
             ref_rgb = np.asarray(center_pad_threshold(img_b, size), np.uint8)
             ref_rgb = _center_crop_pad(ref_rgb, size)
-            placeholder = np.zeros_like(last_lab)
+            nonzero_ph = False
             flag = np.zeros((1,), np.float32)
         else:
             # self-reference: flip + RandomResizedCrop(480,(0.98,1.0),(0.8,1.2))
@@ -280,12 +296,31 @@ class ImageNetPairsDataset:
                 center_pad_threshold(Image.fromarray(ref_raw), size), np.uint8
             )
             ref_rgb = _center_crop_pad(ref_rgb, size)
-            if rng.random_sample() < self.nonzero_placeholder_probability:
-                placeholder = current_lab.copy()
-            else:
-                placeholder = np.zeros_like(last_lab)
+            nonzero_ph = (
+                rng.random_sample() < self.nonzero_placeholder_probability
+            )
             flag = np.ones((1,), np.float32)
+
+        if self.device_preprocess:
+            return dict(
+                last_rgb=i1_rgb,
+                current_rgb=i2_rgb,
+                ref_rgb=ref_rgb,
+                flow_forward=flow_forward.astype(np.float16),
+                flow_backward=flow_backward.astype(np.float16),
+                mask=mask.astype(np.uint8),
+                jitter=np.full((1,), jitter, np.float32),
+                placeholder_flag=np.full((1,), float(nonzero_ph), np.float32),
+                self_ref_flag=flag,
+            )
+
+        last_lab = lab_to_network(rgb_to_lab_np(i1_rgb))
+        current_lab = lab_to_network(rgb_to_lab_np(i2_rgb))
+        current_lab[..., 0] += jitter
         ref_lab = lab_to_network(rgb_to_lab_np(ref_rgb))
+        placeholder = (
+            current_lab.copy() if nonzero_ph else np.zeros_like(last_lab)
+        )
 
         return dict(
             last_lab=last_lab,

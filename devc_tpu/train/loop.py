@@ -269,6 +269,45 @@ def train_step(
     return new_state, metrics
 
 
+def preprocess_batch_u8(batch_u8):
+    """uint8 loader batch -> the float batch train_step consumes, on device.
+
+    The host float path converts three images per sample to Lab in float64
+    (skimage math, ~16 ms each on a 1-core host) and ships ~5.6 MB/sample
+    of float32; with device_preprocess the loader ships uint8 RGB + fp16
+    flows (~1.5 MB/sample) and this function — fused into the train step's
+    XLA program — does Lab conversion (devc_tpu.colorspace, parity-tested
+    vs the host path), the reference's single-offset brightness jitter
+    (videoloader_imagenet.py:226) and the placeholder select.
+    """
+    def lab(u8):
+        return cs.center_lab(cs.rgb_to_lab(u8.astype(jnp.float32) / 255.0))
+
+    last = lab(batch_u8["last_rgb"])
+    cur = lab(batch_u8["current_rgb"])
+    jit_l = batch_u8["jitter"][:, :, None, None]  # [B,1] -> [B,1,1,1]
+    cur = jnp.concatenate([cur[..., 0:1] + jit_l, cur[..., 1:3]], axis=-1)
+    ph = batch_u8["placeholder_flag"][:, :, None, None]
+    return dict(
+        last_lab=last,
+        current_lab=cur,
+        ref_lab=lab(batch_u8["ref_rgb"]),
+        flow_forward=batch_u8["flow_forward"].astype(jnp.float32),
+        flow_backward=batch_u8["flow_backward"].astype(jnp.float32),
+        mask=batch_u8["mask"].astype(jnp.float32),
+        placeholder_lab=jnp.where(ph > 0, cur, 0.0),
+        self_ref_flag=batch_u8["self_ref_flag"],
+    )
+
+
+def train_step_u8(state, batch_u8, key, tx_g, tx_d, vgg_params,
+                  cfg: TrainConfig = TrainConfig()):
+    """train_step with the uint8 loader contract: one XLA program doing
+    preprocess_batch_u8 + the full GAN step."""
+    return train_step(state, preprocess_batch_u8(batch_u8), key,
+                      tx_g, tx_d, vgg_params, cfg)
+
+
 def _grad_vgg_feats(vgg_params, lab):
     """VGG features of the prediction — gradients DO flow (frozen weights,
     live input), unlike _vgg_feats."""
@@ -277,8 +316,10 @@ def _grad_vgg_feats(vgg_params, lab):
 
 
 def make_train_step(tx_g, tx_d, vgg_params, cfg: TrainConfig = TrainConfig(),
-                    donate: bool = True):
-    """jit-compiled train step closure."""
-    fn = functools.partial(train_step, tx_g=tx_g, tx_d=tx_d,
+                    donate: bool = True, device_preprocess: bool = False):
+    """jit-compiled train step closure (uint8-batch contract when
+    device_preprocess)."""
+    step = train_step_u8 if device_preprocess else train_step
+    fn = functools.partial(step, tx_g=tx_g, tx_d=tx_d,
                            vgg_params=vgg_params, cfg=cfg)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -65,6 +65,35 @@ def test_train_step_runs_and_updates(setup):
     assert max_delta(new_state.sn_state, state.sn_state) > 0
 
 
+def test_train_step_u8_device_preprocess(setup):
+    """The uint8-batch step (Lab conversion fused into the XLA program)
+    optimizes like the float-batch step."""
+    from devc_tpu.train.loop import train_step_u8
+
+    state, tx_g, tx_d, vgg = setup
+    b, h, w = 2, 64, 64
+    rng = np.random.RandomState(9)
+    batch = {
+        "last_rgb": jnp.asarray(rng.randint(0, 256, (b, h, w, 3), np.uint8)),
+        "current_rgb": jnp.asarray(rng.randint(0, 256, (b, h, w, 3), np.uint8)),
+        "ref_rgb": jnp.asarray(rng.randint(0, 256, (b, h, w, 3), np.uint8)),
+        "flow_forward": jnp.asarray(
+            rng.randn(b, h, w, 2).astype(np.float16)),
+        "flow_backward": jnp.zeros((b, h, w, 2), jnp.float16),
+        "mask": jnp.ones((b, h, w, 1), jnp.uint8),
+        "jitter": jnp.zeros((b, 1), jnp.float32),
+        "placeholder_flag": jnp.zeros((b, 1), jnp.float32),
+        "self_ref_flag": jnp.ones((b, 1), jnp.float32),
+    }
+    cfg = TrainConfig(use_pallas=False)
+    fn = jax.jit(functools.partial(train_step_u8, tx_g=tx_g, tx_d=tx_d,
+                                   vgg_params=vgg, cfg=cfg))
+    new_state, metrics = fn(state, batch, jax.random.PRNGKey(3))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} is not finite: {v}"
+    assert int(new_state.step) == 1
+
+
 def test_discriminator_grads_nonzero(setup):
     from devc_tpu.models.discriminator import discriminator_apply
     from devc_tpu.train import losses as L

@@ -201,6 +201,85 @@ def test_imagenet_self_reference_is_geometrically_jittered(imagenet_root):
     assert max(diffs) > 0.5, diffs
 
 
+def test_imagenet_device_preprocess_contract_matches_float_path(imagenet_root):
+    """u8 mode ships uint8 RGB + fp16 flows + the jitter/placeholder flags;
+    the same rng seed through both modes must describe the same sample."""
+    from devc_tpu.data.transforms import lab_to_network, rgb_to_lab_np
+
+    kw = dict(image_size=(64, 64), real_reference_probability=0.5,
+              nonzero_placeholder_probability=0.5, brightness_jitter=3.0)
+    ds_f = ImageNetPairsDataset(str(imagenet_root), **kw)
+    ds_u = ImageNetPairsDataset(str(imagenet_root), device_preprocess=True,
+                                **kw)
+    for seed in range(4):
+        f = ds_f.get(0, np.random.RandomState(seed))
+        u = ds_u.get(0, np.random.RandomState(seed))
+        assert u["last_rgb"].dtype == np.uint8
+        assert u["flow_forward"].dtype == np.float16
+        assert u["mask"].dtype == np.uint8
+        # identical rng stream: u8 images reproduce the float-path labs
+        np.testing.assert_allclose(
+            lab_to_network(rgb_to_lab_np(u["last_rgb"])), f["last_lab"],
+            atol=1e-5)
+        cur = lab_to_network(rgb_to_lab_np(u["current_rgb"]))
+        cur[..., 0] += u["jitter"][0]
+        np.testing.assert_allclose(cur, f["current_lab"], atol=1e-5)
+        np.testing.assert_allclose(
+            u["flow_forward"].astype(np.float32), f["flow_forward"],
+            atol=0.25)  # fp16 on |flow| up to ~hundreds of px
+        want_ph = float(np.abs(f["placeholder_lab"]).sum() > 0)
+        assert u["placeholder_flag"][0] == want_ph
+        assert u["self_ref_flag"][0] == f["self_ref_flag"][0]
+
+
+def test_video_pairs_device_preprocess_contract(video_root):
+    ds = VideoPairsDataset(str(video_root), image_size=(64, 64),
+                           real_reference_probability=0.5,
+                           device_preprocess=True)
+    item = ds.get(0, np.random.RandomState(1))
+    assert item["last_rgb"].shape == (64, 64, 3)
+    assert item["last_rgb"].dtype == np.uint8
+    assert item["jitter"][0] == 0.0  # video pairs have no brightness jitter
+    assert item["mask"].dtype == np.uint8
+
+
+def test_preprocess_batch_u8_device_parity(imagenet_root):
+    """The device preprocess (jnp colorspace) matches the host float path
+    within the established device-vs-skimage Lab tolerance."""
+    import jax.numpy as jnp
+
+    from devc_tpu.data.transforms import lab_to_network, rgb_to_lab_np
+    from devc_tpu.train.loop import preprocess_batch_u8
+
+    rng = np.random.RandomState(3)
+    b, h, w = 2, 32, 48
+    u8 = {
+        "last_rgb": rng.randint(0, 256, (b, h, w, 3), np.uint8),
+        "current_rgb": rng.randint(0, 256, (b, h, w, 3), np.uint8),
+        "ref_rgb": rng.randint(0, 256, (b, h, w, 3), np.uint8),
+        "flow_forward": rng.randn(b, h, w, 2).astype(np.float16),
+        "flow_backward": np.zeros((b, h, w, 2), np.float16),
+        "mask": rng.randint(0, 2, (b, h, w, 1), np.uint8),
+        "jitter": np.array([[1.5], [-2.0]], np.float32),
+        "placeholder_flag": np.array([[1.0], [0.0]], np.float32),
+        "self_ref_flag": np.array([[1.0], [0.0]], np.float32),
+    }
+    out = preprocess_batch_u8({k: jnp.asarray(v) for k, v in u8.items()})
+
+    host_cur = np.stack(
+        [lab_to_network(rgb_to_lab_np(x)) for x in u8["current_rgb"]]
+    )
+    host_cur[..., 0] += u8["jitter"][:, 0][:, None, None]
+    np.testing.assert_allclose(np.asarray(out["current_lab"]), host_cur,
+                               atol=2e-3)
+    # placeholder: sample 0 selected (post-jitter current), sample 1 zero
+    np.testing.assert_allclose(np.asarray(out["placeholder_lab"][0]),
+                               np.asarray(out["current_lab"][0]))
+    assert np.abs(np.asarray(out["placeholder_lab"][1])).max() == 0.0
+    assert out["mask"].dtype == jnp.float32
+    assert out["flow_forward"].dtype == jnp.float32
+
+
 def test_random_resized_crop_shapes_and_coverage():
     from devc_tpu.data.distortion import random_resized_crop
 
