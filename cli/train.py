@@ -61,9 +61,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n_model", type=int, default=1,
                    help="model-axis size of the mesh")
+    p.add_argument("--platform", type=str, default=None,
+                   choices=["cpu", "tpu", "axon"],
+                   help="force a JAX backend (this image pins 'axon')")
     args = p.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import numpy as np
     import os
@@ -189,7 +195,23 @@ def main(argv=None):
                               device_preprocess=args.device_preprocess)
 
     logger = MetricsLogger(args.log_dir)
-    img_logger = AsyncImageLogger(logger, render_lab_grids)
+    if args.device_preprocess:
+        # convert the logged uint8 batch to Lab in the logger's background
+        # thread (incl. the train-time brightness jitter), never in the
+        # train loop
+        from devc_tpu.data.transforms import lab_to_network, rgb_to_lab_np
+
+        def _render_u8(tensors):
+            cur = np.stack([lab_to_network(rgb_to_lab_np(x))
+                            for x in tensors["current_rgb"][:8]])
+            cur[..., 0] += tensors["jitter"][:8, 0][:, None, None]
+            ref = np.stack([lab_to_network(rgb_to_lab_np(x))
+                            for x in tensors["ref_rgb"][:8]])
+            return render_lab_grids({"current_gt": cur, "reference": ref})
+
+        img_logger = AsyncImageLogger(logger, _render_u8)
+    else:
+        img_logger = AsyncImageLogger(logger, render_lab_grids)
     timer = StepTimer()
 
     with mesh:
@@ -213,19 +235,16 @@ def main(argv=None):
                 logger.log_scalars(step, m)
             if step % args.tb_log_step == 0:
                 if args.device_preprocess:
-                    from devc_tpu.data.transforms import (
-                        lab_to_network,
-                        rgb_to_lab_np,
-                    )
-
-                    cur = np.stack([lab_to_network(rgb_to_lab_np(x))
-                                    for x in batch_np["current_rgb"]])
-                    ref = np.stack([lab_to_network(rgb_to_lab_np(x))
-                                    for x in batch_np["ref_rgb"]])
+                    img_logger.put(step, {
+                        "current_rgb": batch_np["current_rgb"],
+                        "ref_rgb": batch_np["ref_rgb"],
+                        "jitter": batch_np["jitter"],
+                    })
                 else:
-                    cur = batch_np["current_lab"]
-                    ref = batch_np["ref_lab"]
-                img_logger.put(step, {"current_gt": cur, "reference": ref})
+                    img_logger.put(step, {
+                        "current_gt": batch_np["current_lab"],
+                        "reference": batch_np["ref_lab"],
+                    })
             ckpt.save(step, state)
 
     if ckpt.latest_step() != int(state.step):

@@ -114,15 +114,6 @@ def binary_mask_from_image(mask_u8: np.ndarray, threshold: int = 240):
     return (mask_u8 >= threshold).astype(np.float32)
 
 
-def brightness_jitter(lab: np.ndarray, scale: float, rng=None):
-    """Add a single random offset to the L channel
-    (reference lib/videoloader_imagenet.py:226)."""
-    rng = rng or np.random.RandomState(None)
-    out = lab.copy()
-    out[..., 0] += rng.randn() * scale
-    return out
-
-
 def gaussian_luminance_noise(lab: np.ndarray, sigma: float = 0.1, rng=None):
     """Per-pixel gaussian noise on L (reference Guassian_noise,
     utils/util_distortion.py:26-39)."""

@@ -60,10 +60,16 @@ def _center_crop_pad(arr, size):
     return center_crop(arr, size)
 
 
-def _to_network_lab(rgb_u8, size=None):
-    if size is not None:
-        rgb_u8 = _center_crop_pad(rgb_u8, size)
+def _to_network_lab(rgb_u8):
     return lab_to_network(rgb_to_lab_np(rgb_u8))
+
+
+def _flow_f16(flow):
+    """fp16 flow for the device_preprocess contract. Clamped first: .flo
+    unknown-flow sentinels (~1e9, Middlebury) would overflow fp16 to inf
+    and NaN-poison the consistency loss; the float path keeps them finite
+    and masked, so clamp to the finite fp16 range instead."""
+    return np.clip(flow, -6.0e4, 6.0e4).astype(np.float16)
 
 
 def center_pad_threshold(img: Image.Image, size, threshold: float = 3 / 4):
@@ -169,8 +175,8 @@ class VideoPairsDataset:
                 last_rgb=i1_u8,
                 current_rgb=i2_u8,
                 ref_rgb=ref_rgb,
-                flow_forward=flow_f.astype(np.float16),
-                flow_backward=flow_b.astype(np.float16),
+                flow_forward=_flow_f16(flow_f),
+                flow_backward=_flow_f16(flow_b),
                 mask=mask.astype(np.uint8),
                 jitter=np.zeros((1,), np.float32),
                 placeholder_flag=np.full((1,), float(nonzero_ph), np.float32),
@@ -306,8 +312,8 @@ class ImageNetPairsDataset:
                 last_rgb=i1_rgb,
                 current_rgb=i2_rgb,
                 ref_rgb=ref_rgb,
-                flow_forward=flow_forward.astype(np.float16),
-                flow_backward=flow_backward.astype(np.float16),
+                flow_forward=_flow_f16(flow_forward),
+                flow_backward=_flow_f16(flow_backward),
                 mask=mask.astype(np.uint8),
                 jitter=np.full((1,), jitter, np.float32),
                 placeholder_flag=np.full((1,), float(nonzero_ph), np.float32),

@@ -232,6 +232,18 @@ def test_imagenet_device_preprocess_contract_matches_float_path(imagenet_root):
         assert u["self_ref_flag"][0] == f["self_ref_flag"][0]
 
 
+def test_flow_f16_clamps_unknown_flow_sentinel():
+    """Middlebury .flo unknown-flow sentinels (~1e9) must stay finite in
+    fp16 (inf would NaN-poison the consistency loss on device)."""
+    from devc_tpu.data.videoloader import _flow_f16
+
+    flow = np.array([[1e9, -1e9, 3.25, 0.0]], np.float32)
+    out = _flow_f16(flow)
+    assert out.dtype == np.float16
+    assert np.isfinite(out.astype(np.float32)).all()
+    assert out[0, 2] == np.float16(3.25)
+
+
 def test_video_pairs_device_preprocess_contract(video_root):
     ds = VideoPairsDataset(str(video_root), image_size=(64, 64),
                            real_reference_probability=0.5,
