@@ -24,7 +24,31 @@ def build_params(args):
     import jax
     import jax.numpy as jnp
 
-    if args.random_init:
+    if getattr(args, "train_ckpt", None):
+        # inference from our own cli.train checkpoint (orbax): generator
+        # params from the TrainState, VGG resolved exactly as cli.train
+        # resolved it (torch weights if present, else the seed-1 random
+        # extractor the training run actually used)
+        import os
+
+        from devc_tpu.train.checkpoint import load_train_params_g
+
+        params_g = load_train_params_g(args.train_ckpt, args.train_ckpt_step)
+        if os.path.exists(args.vgg_ckpt):
+            from devc_tpu.utils.convert import (
+                load_torch_state_dict,
+                vgg19_from_torch,
+            )
+
+            vgg = vgg19_from_torch(load_torch_state_dict(args.vgg_ckpt))
+        else:
+            from devc_tpu.models import vgg19_init
+
+            print(f"WARNING: {args.vgg_ckpt} missing; using the seed-1 "
+                  "random VGG (matches cli.train's fallback)")
+            vgg = vgg19_init(jax.random.PRNGKey(1))
+        params = {"vgg": vgg, **params_g}
+    elif args.random_init:
         from devc_tpu.utils.init import host_pipeline_params
 
         params = host_pipeline_params(args.seed)
@@ -62,6 +86,11 @@ def main(argv=None):
     p.add_argument("--colornet_ckpt", type=str,
                    default="checkpoints/video_moredata_l1/colornet_iter_76000.pth")
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--train_ckpt", type=str, default=None,
+                   help="colorize with a cli.train checkpoint directory "
+                        "(orbax; overrides the torch checkpoint flags)")
+    p.add_argument("--train_ckpt_step", type=int, default=None,
+                   help="checkpoint step to load (default: latest)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
                    help="run the network stages in bfloat16 (measured NOT "

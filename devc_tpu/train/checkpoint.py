@@ -59,6 +59,23 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def load_train_params_g(directory: str, step: int | None = None) -> Any:
+    """Generator params ({"warpnet", "colorvid"}) from a cli.train
+    checkpoint directory — the deployment artifact (reference per-net
+    state_dict snapshots, train.py:174-195). No template or optimizer
+    state needed; use for inference from a trained checkpoint
+    (cli.colorize --train_ckpt)."""
+    directory = os.path.abspath(directory)
+    mgr = ocp.CheckpointManager(directory)
+    if step is None:
+        step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found under {directory}")
+    restored = mgr.restore(step)
+    mgr.close()
+    return restored["params_g"]
+
+
 def save_params(path: str, params: Any) -> None:
     """One-shot param snapshot (deployment artifact)."""
     path = os.path.abspath(path)

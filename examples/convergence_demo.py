@@ -100,6 +100,9 @@ def main(argv=None):
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--summary-out", default=None,
                     help="write the first-vs-last loss table as JSON here")
+    ap.add_argument("--device-preprocess", action="store_true",
+                    help="pass --device_preprocess to cli.train (uint8 "
+                         "loader contract; measured 2.8x faster steps)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -130,7 +133,7 @@ def main(argv=None):
         "--log_dir", log_dir,
         "--print_step", "1",
         "--seed", "0",
-    ])
+    ] + (["--device_preprocess"] if args.device_preprocess else []))
 
     # ---- summarize ----
     records = []

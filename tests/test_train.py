@@ -175,6 +175,22 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     mgr.close()
 
 
+def test_load_train_params_g_deployment_artifact(tmp_path, setup):
+    """Template-free generator-params load from a training checkpoint —
+    the path cli.colorize --train_ckpt uses."""
+    from devc_tpu.train.checkpoint import CheckpointManager, load_train_params_g
+
+    state, *_ = setup
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=1)
+    assert mgr.save(0, state, force=True)
+    mgr.wait()
+    mgr.close()
+    pg = load_train_params_g(str(tmp_path / "ckpt"))
+    assert sorted(pg.keys()) == ["colorvid", "warpnet"]
+    for a, b in zip(jax.tree.leaves(state.params_g), jax.tree.leaves(pg)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lr_schedule_steps():
     from devc_tpu.train.state import make_lr_schedule
 
