@@ -47,6 +47,9 @@ def main(argv=None):
     p.add_argument("--colornet_ckpt", type=str,
                    default="checkpoints/video_moredata_l1/colornet_iter_76000.pth")
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--train_ckpt", type=str, default=None,
+                   help="serve a cli.train checkpoint directory (orbax)")
+    p.add_argument("--train_ckpt_step", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_warmup", action="store_true")
     p.add_argument("--platform", type=str, default=None,
