@@ -159,8 +159,7 @@ def main(argv=None):
     else:
         refs = [args.ref_path]
 
-    if (len(refs) > 1 and not args.serial_refs and not args.frame_propagate
-            and not clip_is_video):  # multi-ref batching needs a frame dir
+    if len(refs) > 1 and not args.serial_refs and not args.frame_propagate:
         from devc_tpu.pipeline.video import colorize_video_multi
 
         out_dirs = [

@@ -307,35 +307,12 @@ def colorize_video_multi(
 
     device_resize=True: as in colorize_video — the CenterPad runs on
     device, the host only decodes (uniform clip resolution required).
+    clip_dir may be a frame folder or a video file, as in colorize_video.
     """
     assert len(ref_paths) == len(output_dirs) and ref_paths
-    names = list_clip_frames(clip_dir)
-    if not names:
-        raise ValueError(f"no frames found in {clip_dir}")
-
-    resize_plan = None
-    src_hw = None
-    if device_resize:
-        first = np.asarray(
-            Image.open(os.path.join(clip_dir, names[0])).convert("RGB")
-        )
-        src_hw = first.shape[:2]
-        if src_hw == tuple(image_size):
-            device_resize = False
-        else:
-            a_h, a_w = centerpad_plan(src_hw, image_size)
-            resize_plan = (jnp.asarray(a_h), jnp.asarray(a_w))
-
-    def _load_frame(path):
-        if not device_resize:
-            return load_frame_rgb(path, image_size)
-        raw = np.asarray(Image.open(path).convert("RGB"))
-        if raw.shape[:2] != src_hw:
-            raise ValueError(
-                f"device_resize needs a uniform clip resolution; "
-                f"{path} is {raw.shape[:2]}, first frame was {src_hw}"
-            )
-        return raw
+    _frames_prepped, resize_plan, _ = _frame_source(
+        clip_dir, image_size, device_resize
+    )
 
     # Per-exemplar fault tolerance (reference test.py:179-181 swallows
     # errors per reference): decode every exemplar up front, drop the ones
@@ -368,8 +345,8 @@ def colorize_video_multi(
 
     def reader():
         try:
-            for name in names:
-                frame_q.put(_load_frame(os.path.join(clip_dir, name)))
+            for frame in _frames_prepped():
+                frame_q.put(frame)
         except Exception as e:  # surface decode errors in the main thread
             frame_q.put(e)
         frame_q.put(None)
@@ -460,6 +437,76 @@ def _video_frames_rgb(path: str):
         cap.release()
 
 
+def _frame_source(clip_dir: str, image_size, device_resize: bool):
+    """Unified clip input for the drivers: a frame folder or a video file.
+
+    Returns (frames_prepped, resize_plan, first_frame_padded) where
+    frames_prepped() yields per-frame uint8 arrays — host-CenterPadded to
+    image_size, or RAW (uniform resolution enforced) when resize_plan is
+    set, in which case the device program applies the CenterPad
+    (ops/device_resize.py). first_frame_padded() gives the CenterPadded
+    first frame (for frame_propagate).
+    """
+    video_input = is_video_file(clip_dir)
+    first_raw = None
+    names = None
+    if video_input:
+        frame_iter = _video_frames_rgb(clip_dir)
+        first_raw = next(frame_iter, None)
+        if first_raw is None:
+            raise ValueError(f"no frames decoded from {clip_dir}")
+    else:
+        names = list_clip_frames(clip_dir)
+        if not names:
+            raise ValueError(f"no frames found in {clip_dir}")
+
+    resize_plan = None
+    src_hw = None
+    if device_resize:
+        if first_raw is None:
+            first_raw = np.asarray(
+                Image.open(os.path.join(clip_dir, names[0])).convert("RGB")
+            )
+        src_hw = first_raw.shape[:2]
+        if src_hw == tuple(image_size):
+            device_resize = False  # already at target size: nothing to do
+        else:
+            a_h, a_w = centerpad_plan(src_hw, image_size)
+            resize_plan = (jnp.asarray(a_h), jnp.asarray(a_w))
+
+    def check_uniform(arr):
+        if arr.shape[:2] != src_hw:
+            raise ValueError(
+                f"device_resize needs a uniform clip resolution; "
+                f"got {arr.shape[:2]}, first frame was {src_hw}"
+            )
+        return arr
+
+    def frames_prepped():
+        if video_input:
+            raws = (f for it in ([first_raw], frame_iter) for f in it)
+            if resize_plan is not None:
+                yield from (check_uniform(a) for a in raws)
+            else:
+                yield from (centerpad_np(a, image_size) for a in raws)
+        else:
+            for name in names:
+                path = os.path.join(clip_dir, name)
+                if resize_plan is not None:
+                    yield check_uniform(
+                        np.asarray(Image.open(path).convert("RGB"))
+                    )
+                else:
+                    yield load_frame_rgb(path, image_size)
+
+    def first_frame_padded():
+        if first_raw is not None:
+            return centerpad_np(first_raw, image_size)
+        return load_frame_rgb(os.path.join(clip_dir, names[0]), image_size)
+
+    return frames_prepped, resize_plan, first_frame_padded
+
+
 
 
 def folder_to_video(image_folder: str, output_path: str, fps: int = 24):
@@ -528,64 +575,12 @@ def colorize_video(
     if mode not in ("stream", "scan"):
         raise ValueError(f"unknown mode {mode!r} (expected 'stream' or 'scan')")
     os.makedirs(output_dir, exist_ok=True)
-    video_input = is_video_file(clip_dir)
-    first_raw = None
-    if video_input:
-        frame_iter = _video_frames_rgb(clip_dir)
-        first_raw = next(frame_iter, None)
-        if first_raw is None:
-            raise ValueError(f"no frames decoded from {clip_dir}")
-    else:
-        names = list_clip_frames(clip_dir)
-        if not names:
-            raise ValueError(f"no frames found in {clip_dir}")
-
-    resize_plan = None
-    src_hw = None
-    if device_resize:
-        if first_raw is None:
-            first_raw = np.asarray(
-                Image.open(os.path.join(clip_dir, names[0])).convert("RGB")
-            )
-        src_hw = first_raw.shape[:2]
-        if src_hw == tuple(image_size):
-            device_resize = False  # already at target size: nothing to do
-        else:
-            a_h, a_w = centerpad_plan(src_hw, image_size)
-            resize_plan = (jnp.asarray(a_h), jnp.asarray(a_w))
-
-    def _check_uniform(arr):
-        if arr.shape[:2] != src_hw:
-            raise ValueError(
-                f"device_resize needs a uniform clip resolution; "
-                f"got {arr.shape[:2]}, first frame was {src_hw}"
-            )
-        return arr
-
-    def _frames_prepped():
-        if video_input:
-            raws = (f for it in ([first_raw], frame_iter) for f in it)
-            if device_resize:
-                yield from (_check_uniform(a) for a in raws)
-            else:
-                yield from (centerpad_np(a, image_size) for a in raws)
-        else:
-            for name in names:
-                path = os.path.join(clip_dir, name)
-                if device_resize:
-                    yield _check_uniform(
-                        np.asarray(Image.open(path).convert("RGB"))
-                    )
-                else:
-                    yield load_frame_rgb(path, image_size)
+    _frames_prepped, resize_plan, _first_padded = _frame_source(
+        clip_dir, image_size, device_resize
+    )
 
     if frame_propagate:
-        if video_input:
-            ref_rgb = centerpad_np(first_raw, image_size)
-        else:
-            ref_rgb = load_frame_rgb(
-                os.path.join(clip_dir, names[0]), image_size
-            )
+        ref_rgb = _first_padded()
     else:
         ref_rgb = load_frame_rgb(ref_path, image_size)
     ref_lab_small, ref_state = _device_ref_features(

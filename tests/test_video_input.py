@@ -84,6 +84,29 @@ def test_colorize_video_from_file(params, clip_avi, tmp_path, device_resize):
     assert np.abs(arr[..., 0].astype(int) - arr[..., 1].astype(int)).max() > 3
 
 
+def test_colorize_video_multi_from_file(params, clip_avi, tmp_path):
+    from PIL import Image
+
+    from devc_tpu.pipeline.video import colorize_video_multi
+
+    rng = np.random.RandomState(6)
+    refs = []
+    for i in range(2):
+        rp = tmp_path / f"ref{i}.png"
+        Image.fromarray(
+            rng.randint(0, 256, (96, 160, 3), dtype=np.uint8)
+        ).save(rp)
+        refs.append(str(rp))
+    outs = [str(tmp_path / "m0"), str(tmp_path / "m1")]
+    written = colorize_video_multi(
+        params, clip_avi, refs, outs, image_size=(64, 128),
+        wls=False, write_video=False, use_pallas=False,
+    )
+    assert [len(w) for w in written] == [3, 3]
+    arr = np.asarray(Image.open(written[1][0]))
+    assert arr.shape == (64, 128, 3)
+
+
 def test_unknown_mode_rejected(params, clip_avi, tmp_path):
     from devc_tpu.pipeline.video import colorize_video
 
