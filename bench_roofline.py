@@ -76,18 +76,25 @@ def main(argv=None):
 
         measured_ms = None
         if not args.skip_measure:
-            out, _ = compiled(params, frames, last, ref_state)
+            # distinct inputs per rep: the axon relay memoizes identical
+            # (executable, inputs) pairs and would return in dispatch
+            # latency, measuring nothing (CLAUDE.md)
+            rep_frames = [
+                jax.device_put(
+                    rng.randint(0, 256, (k, h, w, 3), dtype=np.uint8)
+                )
+                for _ in range(3)
+            ]
+            jax.block_until_ready(rep_frames)
+            out, _ = compiled(params, frames, last, ref_state)  # warm
             jax.block_until_ready(out)
             reps = []
-            for _ in range(3):
+            for f in rep_frames:
                 t0 = time.perf_counter()
-                out, _ = compiled(params, frames, last, ref_state)
+                out, _ = compiled(params, f, last, ref_state)
                 jax.block_until_ready(out)
                 reps.append((time.perf_counter() - t0) / k * 1e3)
             measured_ms = sorted(reps)[1]
-            # NOTE: same inputs each rep — on the axon relay the execution
-            # memoizer may return early, so prefer bench.py for throughput;
-            # this run is only a sanity anchor for the roofline ratio.
 
         rec = {
             "config": name,

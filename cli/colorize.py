@@ -126,12 +126,14 @@ def main(argv=None):
             f"--image_size {h} {w}: H must be a multiple of 16 and W a "
             "multiple of 32 (the reference default is 432 768)"
         )
-    # NOTE: no devc_tpu imports before the jax.config.update below — they
-    # create device constants at import time, which pins the pre-set
-    # backend (axon on this image) and silently defeats --platform.
-    video_exts = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+    # NOTE: no jax-bearing devc_tpu imports before the jax.config.update
+    # below — they create device constants at import time, which pins the
+    # pre-set backend (axon on this image) and silently defeats
+    # --platform. data.transforms is numpy/PIL-only and safe.
+    from devc_tpu.data.transforms import VIDEO_EXTS
+
     clip_is_video = (os.path.isfile(args.clip_path)
-                     and args.clip_path.lower().endswith(video_exts))
+                     and args.clip_path.lower().endswith(VIDEO_EXTS))
     if not (os.path.isdir(args.clip_path) or clip_is_video):
         p.error(f"--clip_path {args.clip_path}: not a directory or a "
                 "video file (.mp4/.avi/.mov/.mkv/.webm)")

@@ -20,6 +20,12 @@ import numpy as np
 from PIL import Image
 
 
+# video containers accepted as clip input (shared by the CLIs — which
+# must not import jax-bearing modules before their --platform switch —
+# and by pipeline.video.is_video_file)
+VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
 def sort_frames_numerically(names):
     """Sort frame filenames by the integer formed by their digits
     (reference test.py:41)."""

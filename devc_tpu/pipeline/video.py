@@ -24,6 +24,7 @@ from PIL import Image
 
 from devc_tpu import colorspace as cs
 from devc_tpu.data.transforms import (
+    VIDEO_EXTS,
     centerpad_np,
     load_frame_rgb,
     sort_frames_numerically,
@@ -411,9 +412,6 @@ def list_clip_frames(clip_dir: str):
         if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
     ]
     return sort_frames_numerically(names)
-
-
-VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
 
 
 def is_video_file(path: str) -> bool:

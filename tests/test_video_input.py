@@ -51,13 +51,22 @@ def test_is_video_file(clip_avi, tmp_path):
     assert not is_video_file(missing)
 
 
-def test_video_frames_decode_in_order(clip_avi):
+def test_video_frames_decode_in_order(tmp_path):
     from devc_tpu.pipeline.video import _video_frames_rgb
 
-    frames = list(_video_frames_rgb(clip_avi))
+    # solid per-frame gray levels survive DIVX compression well enough to
+    # identify each frame and its position in the stream
+    levels = [30, 120, 220]
+    frames_in = [np.full((96, 160, 3), v, np.uint8) for v in levels]
+    path = tmp_path / "ordered.avi"
+    _write_avi(path, frames_in)
+
+    frames = list(_video_frames_rgb(str(path)))
     assert len(frames) == 3
     assert all(f.shape == (96, 160, 3) and f.dtype == np.uint8
                for f in frames)
+    for f, v in zip(frames, levels):
+        assert abs(float(f.mean()) - v) < 15, (float(f.mean()), v)
 
 
 @pytest.mark.parametrize("device_resize", [False, True])
