@@ -68,7 +68,12 @@ def _flow_f16(flow):
     """fp16 flow for the device_preprocess contract. Clamped first: .flo
     unknown-flow sentinels (~1e9, Middlebury) would overflow fp16 to inf
     and NaN-poison the consistency loss; the float path keeps them finite
-    and masked, so clamp to the finite fp16 range instead."""
+    and masked, so clamp to the finite fp16 range instead.
+
+    fp16 over bf16 deliberately (ADVICE r2): same 2-byte transfer, but at
+    realistic flow magnitudes fp16's 10-bit mantissa quantizes far finer
+    (ulp 0.25 px at |flow|=256 vs bf16's 2.0 px); the range cliff only
+    threatens the sentinels, which the clamp handles."""
     return np.clip(flow, -6.0e4, 6.0e4).astype(np.float16)
 
 

@@ -12,9 +12,17 @@ full matrix would be 1.7 GB. Sharding strategy:
     the warped rows happens implicitly when the caller needs the full map.
 
 This composes with the fused Pallas kernel: each shard runs the same
-flash-style kernel on its row block. A key-sharded (context-parallel)
-variant would combine partial (max, sum, acc) triples with psum_max/psum —
-not needed at reference scale since keys fit comfortably per chip.
+flash-style kernel on its row block.
+
+`correspondence_warp_key_sharded` below is the complementary
+context-parallel variant for when the EXEMPLAR side must also be split:
+keys/values are sharded, each chip computes a local flash (max, sum, acc)
+triple over its key shard, and the exact global softmax is recovered with
+a pmax + two psums (the distributed form of the kernel's online-softmax
+recurrence — chips play the role of key tiles, ICI plays the VMEM sweep).
+Both variants are exercised by tests/test_parallel.py and the driver's
+dryrun_multichip gate, and are routed through frame_colorization via its
+corr_sharding argument.
 """
 
 from __future__ import annotations
