@@ -47,6 +47,7 @@ class TrainConfig(NamedTuple):
     contextual_direction: str = "forward"
     use_pallas: bool = False
     remat: bool = True  # recompute forwards in backward (fits batch 16/chip)
+    scan_unroll: bool = False  # two-frame unroll as lax.scan (see below)
 
 
 def _vgg_feats(vgg_params, lab):
@@ -58,8 +59,24 @@ def _vgg_feats(vgg_params, lab):
 
 
 def _two_frame_unroll(params, batch, features_b, key, cfg: TrainConfig):
-    """reference train.py:400-428."""
-    k1, k2 = jax.random.split(key)
+    """reference train.py:400-428.
+
+    cfg.scan_unroll chooses how the two-frame recurrence is traced:
+
+    * False (default): both frames inlined, like the reference's Python
+      unroll. Bigger program (the whole per-frame pipeline appears twice,
+      forward and backward), but XLA:CPU executes it at full speed —
+      required for the test suite and the virtual-device gate.
+    * True: a length-2 lax.scan with carry = the previous frame's
+      predicted Lab. The pipeline is traced ONCE, cutting XLA *compile*
+      time of the full train step ~20x (measured on the 1-core CPU gate
+      host: 1443 s -> 72 s) — useful against the TPU relay's minutes-long
+      remote compiles. Metrics are bitwise-identical to the unrolled form
+      (verified), but do NOT use it on the CPU backend: XLA:CPU executes
+      the scan-body convs ~100x slower (measured: one 32x32 batch-8 step
+      1384 s vs seconds unrolled).
+    """
+    keys = jax.random.split(key)  # [2] keys: frame 1, frame 2
 
     def fc(params, a_lab, last_lab, noise_key):
         pred_ab, warped, _sim, _feats = frame_colorization(
@@ -81,19 +98,44 @@ def _two_frame_unroll(params, batch, features_b, key, cfg: TrainConfig):
         # keeping VGG/WarpNet/ColorVidNet activations for two full frames
         fc = jax.checkpoint(fc)
 
+    if cfg.scan_unroll:
+        def step(prev_lab, frame):
+            a_lab, noise_key = frame
+            pred_ab, warped = fc(params, a_lab, prev_lab, noise_key)
+            next_lab = jnp.concatenate([a_lab[..., 0:1], pred_ab], axis=-1)
+            return next_lab, (pred_ab, warped)
+
+        frames = jnp.stack([batch["last_lab"], batch["current_lab"]])
+        _, (pred_abs, nonlocals) = jax.lax.scan(
+            step, batch["placeholder_lab"], (frames, keys)
+        )
+        return pred_abs[1], pred_abs[0], nonlocals[1], nonlocals[0]
+
     last_ab, last_nonlocal = fc(
-        params, batch["last_lab"], batch["placeholder_lab"], k1
+        params, batch["last_lab"], batch["placeholder_lab"], keys[0]
     )
     last_lab_pred = jnp.concatenate(
         [batch["last_lab"][..., 0:1], last_ab], axis=-1
     )
     cur_ab, cur_nonlocal = fc(
-        params, batch["current_lab"], last_lab_pred, k2
+        params, batch["current_lab"], last_lab_pred, keys[1]
     )
     return cur_ab, last_ab, cur_nonlocal, last_nonlocal
 
 
-def _gan_pairs(batch, cur_ab, last_ab, permute: bool):
+def _global_roll1(x, axis_name):
+    """jnp.roll(x, 1, axis=0) over the GLOBAL batch when the batch axis is
+    sharded inside shard_map: roll locally after receiving the previous
+    device's last element via ppermute (one ICI hop, exactly the
+    reference's whole-batch roll semantics)."""
+    n = jax.lax.axis_size(axis_name)
+    prev_last = jax.lax.ppermute(
+        x[-1:], axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    return jnp.concatenate([prev_last, x[:-1]], axis=0)
+
+
+def _gan_pairs(batch, cur_ab, last_ab, permute: bool, axis_name=None):
     """6-channel (current, last) Lab pairs with uncentered L
     (reference train.py:582-589)."""
     cur_l = cs.uncenter_l(batch["current_lab"][..., 0:1])
@@ -104,8 +146,31 @@ def _gan_pairs(batch, cur_ab, last_ab, permute: bool):
         axis=-1,
     )
     if permute:
-        real = jnp.roll(real, shift=1, axis=0)
+        if axis_name is not None:
+            real = _global_roll1(real, axis_name)
+        else:
+            real = jnp.roll(real, shift=1, axis=0)
     return fake, real
+
+
+def _pmean_bucketed(tree, axis_name):
+    """ONE all-reduce for a whole pytree: flatten every leaf into a single
+    fp32 vector, pmean it, unflatten.
+
+    GSPMD emits one all-reduce per gradient tensor (~340 for this model);
+    on real ICI those small latency-bound collectives waste the link, and
+    on the virtual-device CPU gate each one costs a full 8-thread
+    rendezvous on one core (minutes in aggregate). Bucketing is the
+    standard DDP/TPU answer: a single bandwidth-bound collective.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    flat = jnp.concatenate([l.reshape(-1).astype(jnp.float32) for l in leaves])
+    flat = jax.lax.pmean(flat, axis_name)
+    out, off = [], 0
+    for l in leaves:
+        out.append(flat[off:off + l.size].reshape(l.shape).astype(l.dtype))
+        off += l.size
+    return jax.tree.unflatten(treedef, out)
 
 
 def train_step(
@@ -116,32 +181,59 @@ def train_step(
     tx_d,
     vgg_params,
     cfg: TrainConfig = TrainConfig(),
+    axis_name: str | None = None,
 ):
     """One optimization step. batch is a dict of NHWC arrays:
     last_lab, current_lab, ref_lab [B,H,W,3]; flow_forward [B,H,W,2];
     mask [B,H,W,1]; placeholder_lab [B,H,W,3]; self_ref_flag [B,1].
     Returns (new_state, metrics dict).
+
+    axis_name=None (default): single-program semantics; under jit with a
+    sharded batch, GSPMD inserts the cross-device reductions.
+    axis_name="data": explicit-SPMD semantics for running INSIDE shard_map
+    (see make_train_step_spmd) — batch-coupled reductions (the real-pair
+    roll, the self-ref flag normalization, the relativistic-average inner
+    means) become explicit collectives, and the D/G gradient trees are
+    each synchronized with ONE bucketed pmean.
     """
     params_full = lambda pg: {"vgg": vgg_params, **pg}
 
     features_b = _vgg_feats(vgg_params, batch["ref_lab"])
 
     key, k_unroll = jax.random.split(key)
-    cur_ab, last_ab, cur_nl, last_nl = _two_frame_unroll(
-        params_full(state.params_g), batch, features_b, k_unroll, cfg
-    )
-    fake, real = _gan_pairs(batch, cur_ab, last_ab, cfg.permute_data)
+    if axis_name is not None:
+        # per-shard noise independence (GSPMD generates one global noise
+        # tensor; inside shard_map each device must fold in its coordinate)
+        k_unroll = jax.random.fold_in(k_unroll, jax.lax.axis_index(axis_name))
+
+    # ONE forward through the two-frame unroll, VJP captured: the primals
+    # feed the critic step (detached) and the generator loss; the G backward
+    # pulls the loss cotangents back through this same forward instead of
+    # re-running it (reference train.py:560-636 shares one forward between
+    # the D and G updates the same way). With cfg.remat the per-frame
+    # forwards are still recomputed inside the backward, so peak memory is
+    # unchanged; total compute drops by one full unroll forward.
+    def unroll_fn(params_g):
+        return _two_frame_unroll(
+            params_full(params_g), batch, features_b, k_unroll, cfg
+        )
+
+    unroll_outs, unroll_vjp = jax.vjp(unroll_fn, state.params_g)
+    cur_ab, last_ab, _cur_nl, _last_nl = unroll_outs
+    fake, real = _gan_pairs(batch, cur_ab, last_ab, cfg.permute_data, axis_name)
 
     # ---- critic update (fake detached, reference :591-601) ----
     def d_loss_fn(params_d, sn):
         fl, _, sn1 = discriminator_apply(params_d, sn, jax.lax.stop_gradient(fake))
         rl, _, sn2 = discriminator_apply(params_d, sn1, real)
-        return L.ralsgan_d_loss(rl, fl), sn2
+        return L.ralsgan_d_loss(rl, fl, axis_name), sn2
 
     if cfg.weight_gan > 0:
         (d_loss, sn_after), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.params_d, state.sn_state
         )
+        if axis_name is not None:
+            d_grads = _pmean_bucketed(d_grads, axis_name)
         d_updates, opt_state_d = tx_d.update(d_grads, state.opt_state_d,
                                              state.params_d)
         params_d = jax.tree.map(lambda p, u: p + u, state.params_d, d_updates)
@@ -151,28 +243,37 @@ def train_step(
         opt_state_d = state.opt_state_d
         params_d = state.params_d
 
-    # ---- generator update ----
-    def g_loss_fn(params_g, sn):
-        params = params_full(params_g)
-        cur_ab, last_ab, cur_nl, last_nl = _two_frame_unroll(
-            params, batch, features_b, k_unroll, cfg
-        )
+    # ---- generator update (loss over the unroll OUTPUTS; grads chain back
+    # through unroll_vjp) ----
+    def g_loss_fn(outs, sn):
+        cur_ab, last_ab, cur_nl, last_nl = outs
         cur_lab_pred = jnp.concatenate(
             [batch["current_lab"][..., 0:1], cur_ab], axis=-1
         )
 
-        grad_vgg = (
-            jax.checkpoint(_grad_vgg_feats) if cfg.remat else _grad_vgg_feats
-        )
-        pred_feats = grad_vgg(vgg_params, cur_lab_pred)
-        gt_feats = _vgg_feats(vgg_params, batch["current_lab"])
+        # the prediction/GT VGG towers only exist for the perceptual and
+        # contextual terms; skip them entirely when both weights are 0
+        # (XLA cannot fold `x * 0.0` away under strict-NaN semantics, so a
+        # python-level gate is what actually removes the compute)
+        need_vgg = cfg.weight_perceptual > 0 or cfg.weight_contextual > 0
+        if need_vgg:
+            grad_vgg = (
+                jax.checkpoint(_grad_vgg_feats) if cfg.remat else _grad_vgg_feats
+            )
+            pred_feats = grad_vgg(vgg_params, cur_lab_pred)
+        if cfg.weight_perceptual > 0:
+            gt_feats = _vgg_feats(vgg_params, batch["current_lab"])
 
         metrics = {}
         total = jnp.zeros(())
 
-        # weighted L1 (self-reference samples only, reference :621-623)
+        # weighted L1 (self-reference samples only, reference :621-623);
+        # the normalizer is the GLOBAL batch's self-ref count
         flag = batch["self_ref_flag"]  # [B, 1], 1.0 = self-reference
-        w = flag[:, :, None, None] / (jnp.sum(flag[:, 0]) + 1e-5)
+        flag_sum = jnp.sum(flag[:, 0])
+        if axis_name is not None:
+            flag_sum = jax.lax.psum(flag_sum, axis_name)
+        w = flag[:, :, None, None] / (flag_sum + 1e-5)
         l1_loss = L.weighted_l1(cur_ab, batch["current_lab"][..., 1:3], w)
         l1_loss = l1_loss * cfg.weight_l1
         total += l1_loss
@@ -180,35 +281,48 @@ def train_step(
 
         # GAN generator term against the *updated* critic (reference order)
         if cfg.weight_gan > 0:
-            fake2, real2 = _gan_pairs(batch, cur_ab, last_ab, cfg.permute_data)
+            fake2, real2 = _gan_pairs(batch, cur_ab, last_ab,
+                                      cfg.permute_data, axis_name)
             fl, _, sn1 = discriminator_apply(params_d, sn, fake2)
             rl, _, _sn2 = discriminator_apply(params_d, sn1, real2)
-            g_gan = L.ralsgan_g_loss(rl, fl) * cfg.weight_gan
+            g_gan = L.ralsgan_g_loss(rl, fl, axis_name) * cfg.weight_gan
         else:
             g_gan = jnp.zeros(())
         total += g_gan
         metrics["generator_loss"] = g_gan
 
         # perceptual on the deepest tap (reference :638-647)
-        feat = L.perceptual_loss(pred_feats[4], gt_feats[4], cfg.domain_invariant)
-        feat = feat * cfg.weight_perceptual * (1e5 * 0.2 if cfg.domain_invariant else 1.0)
+        if cfg.weight_perceptual > 0:
+            feat = L.perceptual_loss(pred_feats[4], gt_feats[4],
+                                     cfg.domain_invariant)
+            feat = feat * cfg.weight_perceptual * (
+                1e5 * 0.2 if cfg.domain_invariant else 1.0
+            )
+        else:
+            feat = jnp.zeros(())
         total += feat
         metrics["feat_loss"] = feat
 
         # contextual vs exemplar features (reference :649-668)
-        ctx = L.contextual_loss_multiscale(
-            (pred_feats[2], pred_feats[3], pred_feats[4]),
-            (features_b[2], features_b[3], features_b[4]),
-            direction=cfg.contextual_direction,
-        ) * cfg.weight_contextual
+        if cfg.weight_contextual > 0:
+            ctx = L.contextual_loss_multiscale(
+                (pred_feats[2], pred_feats[3], pred_feats[4]),
+                (features_b[2], features_b[3], features_b[4]),
+                direction=cfg.contextual_direction,
+            ) * cfg.weight_contextual
+        else:
+            ctx = jnp.zeros(())
         total += ctx
         metrics["contextual_loss_total"] = ctx
 
         # smoothness (reference :670-680)
-        smooth = (
-            L.smoothness_loss(batch["current_lab"], cur_ab, alpha=10.0)
-            * cfg.weight_smoothness
-        )
+        if cfg.weight_smoothness > 0:
+            smooth = (
+                L.smoothness_loss(batch["current_lab"], cur_ab, alpha=10.0)
+                * cfg.weight_smoothness
+            )
+        else:
+            smooth = jnp.zeros(())
         total += smooth
         metrics["smoothness_loss"] = smooth
 
@@ -250,14 +364,21 @@ def train_step(
         metrics["total_loss"] = total
         return total, metrics
 
-    (g_total, metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-        state.params_g, sn_after
+    (g_total, metrics), out_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        unroll_outs, sn_after
     )
+    (g_grads,) = unroll_vjp(out_grads)
+    if axis_name is not None:
+        g_grads = _pmean_bucketed(g_grads, axis_name)
     g_updates, opt_state_g = tx_g.update(g_grads, state.opt_state_g,
                                          state.params_g)
     params_g = jax.tree.map(lambda p, u: p + u, state.params_g, g_updates)
 
     metrics["discriminator_loss"] = d_loss
+    if axis_name is not None:
+        # report GLOBAL metrics (mean-type losses: mean of shard means ==
+        # global mean for equal shard sizes) — one bucketed collective
+        metrics = _pmean_bucketed(metrics, axis_name)
     new_state = TrainState(
         step=state.step + 1,
         params_g=params_g,
@@ -301,11 +422,12 @@ def preprocess_batch_u8(batch_u8):
 
 
 def train_step_u8(state, batch_u8, key, tx_g, tx_d, vgg_params,
-                  cfg: TrainConfig = TrainConfig()):
+                  cfg: TrainConfig = TrainConfig(),
+                  axis_name: str | None = None):
     """train_step with the uint8 loader contract: one XLA program doing
     preprocess_batch_u8 + the full GAN step."""
     return train_step(state, preprocess_batch_u8(batch_u8), key,
-                      tx_g, tx_d, vgg_params, cfg)
+                      tx_g, tx_d, vgg_params, cfg, axis_name=axis_name)
 
 
 def _grad_vgg_feats(vgg_params, lab):
@@ -323,3 +445,42 @@ def make_train_step(tx_g, tx_d, vgg_params, cfg: TrainConfig = TrainConfig(),
     fn = functools.partial(step, tx_g=tx_g, tx_d=tx_d,
                            vgg_params=vgg_params, cfg=cfg)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def make_train_step_spmd(mesh, tx_g, tx_d, vgg_params,
+                         cfg: TrainConfig = TrainConfig(),
+                         axis: str = "data", donate: bool = True,
+                         device_preprocess: bool = False):
+    """Explicit-SPMD data-parallel train step over `mesh` via shard_map.
+
+    Same step semantics as make_train_step with a mesh-sharded batch, but
+    the cross-device reductions are explicit and BUCKETED: one pmean for
+    the whole G gradient tree, one for D, one for the metrics, a ppermute
+    for the real-pair roll, plus the three small in-graph collectives the
+    batch-coupled losses need (self-ref flag count, RaLSGAN inner means).
+    GSPMD instead emits one all-reduce per gradient tensor (~340): on real
+    ICI those are latency-bound; bucketing them is the standard
+    data-parallel answer (DDP gradient bucketing) and makes the
+    virtual-device gate executable in seconds instead of minutes.
+
+    state and key must be replicated; every batch leaf is sharded on its
+    leading axis over `axis`. Returns a jitted (state, batch, key) ->
+    (state, metrics) callable.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    base = train_step_u8 if device_preprocess else train_step
+
+    def step(state, batch, key):
+        return base(state, batch, key, tx_g=tx_g, tx_d=tx_d,
+                    vgg_params=vgg_params, cfg=cfg, axis_name=axis)
+
+    smapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(smapped, donate_argnums=(0,) if donate else ())

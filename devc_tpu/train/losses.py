@@ -269,20 +269,32 @@ def consistency_loss(pred_lab_current, pred_ab_last, flow_forward, mask):
 
 
 # ---------------------------------------------------------- GAN (RaLSGAN)
-def ralsgan_d_loss(real_logits, fake_logits):
+def _batch_mean(x, axis_name=None):
+    """Mean over the batch — GLOBAL batch when running inside shard_map
+    with `axis_name` set (the relativistic average couples samples across
+    shards, so the inner mean must be a collective there; the reference's
+    DataParallel gathers logits to one device, train.py:591-601, which
+    has the same global-mean semantics)."""
+    m = jnp.mean(x)
+    if axis_name is not None:
+        m = jax.lax.pmean(m, axis_name)
+    return m
+
+
+def ralsgan_d_loss(real_logits, fake_logits, axis_name=None):
     """Relativistic average LSGAN discriminator loss
     (reference train.py:594-599)."""
     y = 1.0
     return (
-        jnp.mean(jnp.square(real_logits - jnp.mean(fake_logits) - y))
-        + jnp.mean(jnp.square(fake_logits - jnp.mean(real_logits) + y))
+        jnp.mean(jnp.square(real_logits - _batch_mean(fake_logits, axis_name) - y))
+        + jnp.mean(jnp.square(fake_logits - _batch_mean(real_logits, axis_name) + y))
     ) / 2.0
 
 
-def ralsgan_g_loss(real_logits, fake_logits):
+def ralsgan_g_loss(real_logits, fake_logits, axis_name=None):
     """Generator side (reference train.py:629-636)."""
     y = 1.0
     return (
-        jnp.mean(jnp.square(real_logits - jnp.mean(fake_logits) + y))
-        + jnp.mean(jnp.square(fake_logits - jnp.mean(real_logits) - y))
+        jnp.mean(jnp.square(real_logits - _batch_mean(fake_logits, axis_name) + y))
+        + jnp.mean(jnp.square(fake_logits - _batch_mean(real_logits, axis_name) - y))
     ) / 2.0

@@ -45,7 +45,30 @@ def make_optimizers(
     lr_step: int = 100,
     lr_gamma: float = 0.1,
     use_schedule: bool = True,
+    fused: bool = True,
 ):
+    """The reference's two Adam optimizers (train.py:308-319, 477-479).
+
+    fused=True (default): the flat-vector implementation
+    (train/flat_opt.py) — identical math, ~15 large vector ops per step
+    instead of thousands of per-leaf kernels. fused=False keeps the
+    per-leaf optax composition as the parity oracle
+    (tests/test_train.py::test_flat_optimizer_matches_optax).
+    """
+    if fused:
+        from devc_tpu.train.flat_opt import flat_adam
+
+        # unit-base StepLR factor: identical f32 rounding to the per-module
+        # exponential_decay schedules the optax oracle path uses
+        factor = make_lr_schedule(1.0, lr_step, lr_gamma) if use_schedule else None
+        tx_g = flat_adam(
+            {"warpnet": lr_warpnet, "colorvid": lr_colorvid},
+            b1=0.5, b2=0.999, eps=1e-5, amsgrad=True,
+            schedule_factor=factor,
+        )
+        tx_d = flat_adam(lr_d, b1=0.5, b2=0.999, schedule_factor=factor)
+        return tx_g, tx_d
+
     def sched(lr):
         return make_lr_schedule(lr, lr_step, lr_gamma) if use_schedule else lr
 

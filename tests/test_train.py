@@ -191,6 +191,50 @@ def test_load_train_params_g_deployment_artifact(tmp_path, setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_run_metadata_vgg_gate(tmp_path, setup):
+    """cli.colorize --train_ckpt refuses a silently mismatched feature
+    extractor: a checkpoint recorded as trained against torch VGG weights
+    hard-fails when only the random fallback is available (ADVICE r2)."""
+    import argparse
+
+    from cli.colorize import build_params
+    from devc_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_run_metadata,
+        save_run_metadata,
+    )
+
+    state, *_ = setup
+    d = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(d, save_interval_steps=1)
+    assert mgr.save(0, state, force=True)
+    mgr.wait()
+    mgr.close()
+    save_run_metadata(d, {"vgg_source": "torch:vgg19_conv.pth"})
+    assert load_run_metadata(d) == {"vgg_source": "torch:vgg19_conv.pth"}
+
+    ns = lambda **kw: argparse.Namespace(
+        train_ckpt=d, train_ckpt_step=None, bf16=False,
+        vgg_ckpt=str(tmp_path / "missing.pth"), allow_random_vgg=False,
+        random_init=False, **kw)
+    with pytest.raises(SystemExit, match="trained against torch VGG"):
+        build_params(ns())
+    # explicit override loads (falls back to the seed-1 random extractor)
+    args_ok = ns()
+    args_ok.allow_random_vgg = True
+    params = build_params(args_ok)
+    assert sorted(params.keys()) == ["colorvid", "vgg", "warpnet"]
+
+    # a run recorded as random-VGG refuses torch weights present on disk
+    save_run_metadata(d, {"vgg_source": "random:seed1"})
+    args_rand = ns()
+    vggpath = tmp_path / "vgg19_conv.pth"
+    vggpath.write_bytes(b"not a real file")
+    args_rand.vgg_ckpt = str(vggpath)
+    with pytest.raises(SystemExit, match="seed-1 random"):
+        build_params(args_rand)
+
+
 def test_lr_schedule_steps():
     from devc_tpu.train.state import make_lr_schedule
 
@@ -199,3 +243,41 @@ def test_lr_schedule_steps():
     assert float(sched(99)) == pytest.approx(1e-3)
     assert float(sched(100)) == pytest.approx(1e-4)
     assert float(sched(250)) == pytest.approx(1e-5)
+
+
+def test_flat_optimizer_matches_optax():
+    """The fused flat-vector optimizer (train/flat_opt.py) is BITWISE
+    identical to the per-leaf optax composition (multi_transform amsgrad +
+    adam, reference train.py:308-319) across steps, including the StepLR
+    boundary."""
+    from devc_tpu.train.state import create_train_state, make_optimizers
+
+    state, txg_f, txd_f = create_train_state(
+        jax.random.PRNGKey(0), use_schedule=True, lr_step=2
+    )
+    txg_o, txd_o = make_optimizers(use_schedule=True, lr_step=2, fused=False)
+
+    pg, pd = state.params_g, state.params_d
+    og_f, og_o = txg_f.init(pg), txg_o.init(pg)
+    od_f, od_o = txd_f.init(pd), txd_o.init(pd)
+    key = jax.random.PRNGKey(5)
+    for step in range(4):  # crosses the lr_step=2 boundary
+        key, k1, k2 = jax.random.split(key, 3)
+        gg = jax.tree.map(
+            lambda x: jax.random.normal(
+                jax.random.fold_in(k1, hash(x.shape) % 1000), x.shape) * 0.1,
+            pg)
+        gd = jax.tree.map(
+            lambda x: jax.random.normal(
+                jax.random.fold_in(k2, hash(x.shape) % 1000), x.shape) * 0.1,
+            pd)
+        uf, og_f = txg_f.update(gg, og_f, pg)
+        uo, og_o = txg_o.update(gg, og_o, pg)
+        df, od_f = txd_f.update(gd, od_f, pd)
+        do, od_o = txd_o.update(gd, od_o, pd)
+        for a, b in zip(jax.tree.leaves(uf), jax.tree.leaves(uo)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(df), jax.tree.leaves(do)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        pg = jax.tree.map(lambda p, u: p + u, pg, uf)
+        pd = jax.tree.map(lambda p, u: p + u, pd, df)
