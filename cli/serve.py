@@ -9,10 +9,13 @@ Protocol (stdin -> stdout, one JSON object per line):
    "frame_propagate": false, "wls": true,
    "mode": "stream"|"scan", "chunk": 16,
    "device_resize": false}                         # a job
-  {"cmd": "batch", "slots": 4,
+  {"cmd": "batch", "slots": 4, "device_resize": false,
    "jobs": [{"clip_path": ..., "ref_path": ..., "output_path": ...}, ...]}
                                                    # many clips, batched on
-                                                   # device (ClipBatchScheduler)
+                                                   # device (ClipBatchScheduler);
+                                                   # clip_path may be a frame
+                                                   # folder or a video file,
+                                                   # mixed resolutions OK
   {"cmd": "ping"}                                  # liveness probe
   {"cmd": "shutdown"}                              # drain and exit
 
@@ -122,6 +125,7 @@ def main(argv=None):
                     slots=int(job.get("slots", 4)),
                     temperature=args.temperature,
                     wls=bool(job.get("wls", True)),
+                    device_resize=bool(job.get("device_resize", False)),
                 )
                 for j in job["jobs"]:
                     sched.submit(j["clip_path"], j["ref_path"],

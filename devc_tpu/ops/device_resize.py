@@ -117,3 +117,39 @@ def device_centerpad(frames_u8, a_h, a_w):
     x = jnp.einsum("ts,...swc->...twc", a_h, x)
     x = jnp.einsum("uw,...twc->...tuc", a_w, x)
     return jnp.floor(jnp.clip(x, 0.0, 255.0)).astype(jnp.uint8)
+
+
+def centerpad_plan_padded(src_hw, out_hw, max_hw, dtype=np.float32):
+    """centerpad_plan with the source axes zero-padded to max_hw.
+
+    For batched serving of mixed-resolution clips (pipeline/scheduler.py):
+    each slot's raw frames are zero-padded on the host to a common
+    (max_h, max_w) and its plan matrices get matching zero columns, so ONE
+    compiled program (with per-slot plan tensors as inputs) serves every
+    source size. Semantically exact (padded pixels only ever multiply zero
+    coefficients); numerically the larger contraction dim can reassociate
+    the f32 sums and flip truncation ties by <=1 uint8 step on a tiny
+    pixel fraction — the same bound as device-vs-host resize
+    (tests/test_scheduler.py::test_centerpad_plan_padded_matches_unpadded).
+
+    Returns (A_h [th, max_h], A_w [tw, max_w]).
+    """
+    a_h, a_w = centerpad_plan(src_hw, out_hw, dtype)
+    mh, mw = int(max_hw[0]), int(max_hw[1])
+    if a_h.shape[1] > mh or a_w.shape[1] > mw:
+        raise ValueError(f"max_hw {max_hw} smaller than source {src_hw}")
+    pad_h = np.zeros((a_h.shape[0], mh), dtype)
+    pad_h[:, : a_h.shape[1]] = a_h
+    pad_w = np.zeros((a_w.shape[0], mw), dtype)
+    pad_w[:, : a_w.shape[1]] = a_w
+    return pad_h, pad_w
+
+
+def device_centerpad_batched(frames_u8, a_h, a_w):
+    """Per-slot plans: frames [B, H, W, 3] x A_h [B, th, H] x A_w [B, tw, W]
+    -> uint8 [B, th, tw, 3]. The batched form of device_centerpad, one
+    einsum contraction per axis (MXU batched matmuls)."""
+    x = frames_u8.astype(jnp.float32)
+    x = jnp.einsum("bts,bswc->btwc", a_h, x)
+    x = jnp.einsum("buw,btwc->btuc", a_w, x)
+    return jnp.floor(jnp.clip(x, 0.0, 255.0)).astype(jnp.uint8)

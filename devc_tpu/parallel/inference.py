@@ -46,13 +46,24 @@ def batched_frame_step(
     sigma_color: float = 4.0,
     use_pallas: bool | None = None,
     corr_sharding=None,
+    resize_plans=None,
 ):
     """Advance B clips one frame. Returns (rgb_u8 [B,H,W,3], new_last).
 
     Shard `frames_u8` / `last_lab` / `ref_state` over a mesh's "data" axis
     (jax.device_put with NamedSharding) and jit — XLA runs each clip shard
     on its own chips.
+
+    resize_plans: optional (A_h [B, th, maxH], A_w [B, tw, maxW]) per-slot
+    CenterPad plans (ops/device_resize.py::centerpad_plan_padded) — then
+    frames_u8 is RAW [B, maxH, maxW, 3] (each slot's source zero-padded to
+    the common max) and the anti-aliased resize runs on device, one batched
+    MXU matmul pair, so mixed-resolution jobs share one compiled program.
     """
+    if resize_plans is not None:
+        from devc_tpu.ops.device_resize import device_centerpad_batched
+
+        frames_u8 = device_centerpad_batched(frames_u8, *resize_plans)
     rgb = frames_u8.astype(jnp.float32) / 255.0
     lab_large = cs.center_lab(cs.rgb_to_lab(rgb))
     h, w = frames_u8.shape[1], frames_u8.shape[2]
