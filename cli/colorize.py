@@ -31,19 +31,41 @@ def build_params(args):
         # extractor the training run actually used)
         import os
 
-        from devc_tpu.train.checkpoint import load_train_params_g
+        from devc_tpu.train.checkpoint import (
+            load_run_metadata,
+            load_train_params_g,
+        )
 
         params_g = load_train_params_g(args.train_ckpt, args.train_ckpt_step)
+        meta = load_run_metadata(args.train_ckpt)
+        trained_vgg = (meta or {}).get("vgg_source")  # None for old ckpts
         if os.path.exists(args.vgg_ckpt):
             from devc_tpu.utils.convert import (
                 load_torch_state_dict,
                 vgg19_from_torch,
             )
 
+            if trained_vgg == "random:seed1":
+                raise SystemExit(
+                    f"{args.train_ckpt} was trained with the seed-1 random "
+                    f"VGG but {args.vgg_ckpt} exists here — inference with "
+                    "torch VGG weights would mismatch the trained features. "
+                    "Point --vgg_ckpt at a nonexistent path to use the "
+                    "random extractor the run trained against."
+                )
             vgg = vgg19_from_torch(load_torch_state_dict(args.vgg_ckpt))
         else:
             from devc_tpu.models import vgg19_init
 
+            if trained_vgg and trained_vgg.startswith("torch:") and \
+                    not args.allow_random_vgg:
+                raise SystemExit(
+                    f"{args.train_ckpt} was trained against torch VGG "
+                    f"weights ({trained_vgg}) but {args.vgg_ckpt} is "
+                    "missing — the random-VGG fallback would silently "
+                    "produce wrong colorizations. Provide --vgg_ckpt or "
+                    "pass --allow_random_vgg to override."
+                )
             print(f"WARNING: {args.vgg_ckpt} missing; using the seed-1 "
                   "random VGG (matches cli.train's fallback)")
             vgg = vgg19_init(jax.random.PRNGKey(1))
@@ -89,6 +111,10 @@ def main(argv=None):
     p.add_argument("--train_ckpt", type=str, default=None,
                    help="colorize with a cli.train checkpoint directory "
                         "(orbax; overrides the torch checkpoint flags)")
+    p.add_argument("--allow_random_vgg", action="store_true",
+                   help="with --train_ckpt: permit the seed-1 random VGG "
+                        "even though the checkpoint records training "
+                        "against torch VGG weights")
     p.add_argument("--train_ckpt_step", type=int, default=None,
                    help="checkpoint step to load (default: latest)")
     p.add_argument("--seed", type=int, default=0)
@@ -106,7 +132,7 @@ def main(argv=None):
                    choices=["stream", "scan"],
                    help="stream: one program per frame; scan: chunks of "
                         "frames as one lax.scan program")
-    p.add_argument("--chunk", type=int, default=16,
+    p.add_argument("--chunk", type=int, default=64,
                    help="frames per scan program (mode=scan)")
     p.add_argument("--device_resize", action="store_true",
                    help="run the CenterPad anti-aliased resize on device "

@@ -29,7 +29,9 @@ from PIL import Image
 
 
 def _load_dir(d, limit=None):
-    from devc_tpu.pipeline.video import list_clip_frames
+    # numpy-only import: pipeline.video would initialize the pinned
+    # single-process TPU backend just to list files (ADVICE r2)
+    from devc_tpu.data.transforms import list_clip_frames
 
     names = list_clip_frames(d)
     if limit:

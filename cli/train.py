@@ -57,7 +57,12 @@ def main(argv=None):
                    help="loader ships uint8 RGB + fp16 flows; Lab "
                         "conversion/jitter/placeholder run inside the "
                         "jitted train step (~3.7x less host->device "
-                        "transfer and ~60 ms/sample less host work)")
+                        "transfer and ~60 ms/sample less host work). "
+                        "Numerics note: fp16 flow quantization shifts the "
+                        "consistency-loss warp targets by <=0.5 px ulp at "
+                        "several-hundred-px flows (fp16 beats bf16 here: "
+                        "0.25 vs 2.0 px ulp at |flow|=256; sentinels are "
+                        "clamped before the cast)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n_model", type=int, default=1,
                    help="model-axis size of the mesh")
@@ -135,11 +140,13 @@ def main(argv=None):
 
         vgg_params = vgg19_from_torch(load_torch_state_dict(args.vgg_ckpt))
         vgg_params = jax.tree.map(jnp.asarray, vgg_params)
+        vgg_source = f"torch:{os.path.basename(args.vgg_ckpt)}"
     else:
         print(f"WARNING: {args.vgg_ckpt} missing; random VGG weights")
         from devc_tpu.models import vgg19_init
 
         vgg_params = vgg19_init(jax.random.PRNGKey(1))
+        vgg_source = "random:seed1"
 
     warm_w = warm_c = None
     if args.load_pretrained_model:
@@ -159,6 +166,11 @@ def main(argv=None):
 
     ckpt = CheckpointManager(args.checkpoint_dir,
                              save_interval_steps=args.checkpoint_step)
+    from devc_tpu.train.checkpoint import save_run_metadata
+
+    # inference (cli.colorize --train_ckpt) reads this to refuse a
+    # mismatched feature extractor instead of silently degrading
+    save_run_metadata(args.checkpoint_dir, {"vgg_source": vgg_source})
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"resumed at step {int(state.step)}")

@@ -37,6 +37,22 @@ def sort_frames_numerically(names):
     return sorted(names, key=key)
 
 
+def list_clip_frames(clip_dir):
+    """Numerically-sorted image frame names in a clip directory.
+
+    Lives here (numpy-only module) so host-side CLIs like cli.evaluate can
+    enumerate frames without importing jax-bearing pipeline modules, which
+    would initialize the pinned single-process TPU backend."""
+    import os
+
+    names = [
+        f
+        for f in os.listdir(clip_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
+    ]
+    return sort_frames_numerically(names)
+
+
 def resize_antialiased_np(img: np.ndarray, out_hw) -> np.ndarray:
     """Anti-aliased float64 resize with the exact semantics of the
     reference's host resize (skimage.transform.resize with

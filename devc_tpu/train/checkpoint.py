@@ -76,6 +76,29 @@ def load_train_params_g(directory: str, step: int | None = None) -> Any:
     return restored["params_g"]
 
 
+def save_run_metadata(directory: str, meta: dict) -> None:
+    """Side-band run metadata (e.g. which VGG weights the run used) next to
+    the orbax steps. Inference reads this to refuse silently mismatched
+    feature extractors (ADVICE r2: a trained ckpt + the random-VGG fallback
+    produces wrong colorizations with no hard failure)."""
+    import json
+
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "run_metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_run_metadata(directory: str) -> dict | None:
+    import json
+
+    path = os.path.join(os.path.abspath(directory), "run_metadata.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def save_params(path: str, params: Any) -> None:
     """One-shot param snapshot (deployment artifact)."""
     path = os.path.abspath(path)
