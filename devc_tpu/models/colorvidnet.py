@@ -18,8 +18,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import os
+
+from devc_tpu.ops.dilated import (
+    apply_mask,
+    batch_to_space2,
+    instance_norm_s2b,
+    space_to_batch2,
+)
 from devc_tpu.ops.layers import conv2d, conv_init, instance_norm, leaky_relu
 from devc_tpu.ops.resize import upsample_nearest
+
+# Run the dilation-2 stages 5-6 via space-to-batch (ops/dilated.py): the
+# four pixel parities stack along batch and the six dilated convs become
+# regular 3x3 convs, which the TPU conv emitter schedules ~MXU-optimally
+# while rhs_dilation>1 lowers to a much slower path. Exact (same windows,
+# same weights; masked SAME-pad + full-plane norm stats for odd dims).
+# DEVC_DILATED_DIRECT=1 restores the direct dilated lowering (A/B bench).
+_DILATED_S2B = os.environ.get("DEVC_DILATED_DIRECT", "") != "1"
 
 # name -> (in, out, ksize, groups, bias, dilation)
 _CONVS = {
@@ -113,11 +129,20 @@ def colorvidnet_apply(params, x):
     c4 = _c(params, "conv4_3", c4)
     h = instance_norm(c4)
 
-    for stage in ("conv5", "conv6"):
-        h = _c(params, f"{stage}_1", h)
-        h = _c(params, f"{stage}_2", h)
-        h = _c(params, f"{stage}_3", h)
-        h = instance_norm(h)
+    if _DILATED_S2B:
+        hs, mask, hw = space_to_batch2(h)
+        for stage in ("conv5", "conv6"):
+            for layer in ("_1", "_2", "_3"):
+                y = conv2d(params[stage + layer], hs, padding=1)
+                hs = apply_mask(jax.nn.relu(y), mask)
+            hs = instance_norm_s2b(hs, hw, mask)
+        h = batch_to_space2(hs, hw)
+    else:
+        for stage in ("conv5", "conv6"):
+            h = _c(params, f"{stage}_1", h)
+            h = _c(params, f"{stage}_2", h)
+            h = _c(params, f"{stage}_3", h)
+            h = instance_norm(h)
 
     h = _c(params, "conv7_1", h)
     h = _c(params, "conv7_2", h)

@@ -112,7 +112,35 @@ def test_colorvidnet_parity(rng):
     ours = np.asarray(colorvidnet_apply(params, jnp.array(x)))
     with torch.no_grad():
         theirs = _nhwc(ref(_nchw(x)))
-    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+    # 3e-3 on a ±128 output (≈2e-5 relative): the s2b instance-norm stats
+    # (ops/dilated.py) reassociate the fp32 spatial sums vs torch's plane
+    # reduction; worst observed element 2.2e-3
+    np.testing.assert_allclose(ours, theirs, atol=3e-3, rtol=1e-3)
+
+
+def test_colorvidnet_s2b_matches_direct_dilated(rng):
+    """The space-to-batch execution of the dilation-2 stages 5-6
+    (ops/dilated.py) must match the direct rhs_dilation lowering exactly —
+    including ODD conv5 grids, where the parity sub-grids are zero-padded
+    and re-masked (the reference's 216-row input reaches conv5 at 27 rows:
+    models/ColorVidNet.py:52-75)."""
+    import devc_tpu.models.colorvidnet as cvn
+
+    params = cvn.colorvidnet_init(jax.random.PRNGKey(4))
+    # conv5 grids: (4,4) even/even, (3,5) odd/odd, (7,5) odd/odd asym
+    for h, w in [(32, 32), (24, 40), (56, 40)]:
+        x = jnp.asarray(rng.randn(2, h, w, 7).astype(np.float32) * 20)
+        old = cvn._DILATED_S2B
+        try:
+            cvn._DILATED_S2B = True
+            y_s2b = jax.jit(cvn.colorvidnet_apply)(params, x)
+            cvn._DILATED_S2B = False
+            y_dir = jax.jit(cvn.colorvidnet_apply)(params, x)
+        finally:
+            cvn._DILATED_S2B = old
+        np.testing.assert_allclose(
+            np.asarray(y_s2b), np.asarray(y_dir), atol=1e-4, rtol=1e-5
+        )
 
 
 def test_frame_colorization_parity(rng):
