@@ -122,6 +122,38 @@ def main():
     jax.block_until_ready(outs)
     stream_fps = n_stream / (time.perf_counter() - t0)
 
+    # secondary: multi-exemplar scan mode (R=3 refs per frame in one
+    # program; VERDICT r2 missing #4 — was stream-only and dispatch-bound)
+    multi_scan_fps = None
+    if on_tpu:
+        from devc_tpu.pipeline.video import (
+            _device_chunk_scan_multi,
+            _device_ref_features_multi,
+        )
+
+        refs_u8 = jnp.asarray(
+            rng.randint(0, 256, (3, h, w, 3), dtype=np.uint8)
+        )
+        _, ref_state_m = _device_ref_features_multi(params, refs_u8)
+        last_m = jnp.zeros((3, h // 2, w // 2, 3), jnp.float32)
+        out, _ = _device_chunk_scan_multi(params, chunks[0], last_m,
+                                          ref_state_m, temperature=1e-10,
+                                          wls=True, use_pallas=use_pallas)
+        jax.block_until_ready(out)
+        best = 0.0
+        for _ in range(2):
+            outs_m, cur_m = [], last_m
+            t0 = time.perf_counter()
+            for chunk in chunks:
+                out, cur_m = _device_chunk_scan_multi(
+                    params, chunk, cur_m, ref_state_m, temperature=1e-10,
+                    wls=True, use_pallas=use_pallas,
+                )
+                outs_m.append(out)
+            jax.block_until_ready(outs_m)
+            best = max(best, len(chunks) * k / (time.perf_counter() - t0))
+        multi_scan_fps = round(best, 3)
+
     # secondary: full-resolution config — net at 768x432 (N=20736
     # correspondence, the regime the Pallas kernel exists for;
     # BASELINE.json config 3). Input 864x1536, halved by the pipeline.
@@ -149,6 +181,7 @@ def main():
                 "vs_baseline": round(fps / 30.0, 3),
                 "extra": {
                     "stream_mode_per_dispatch_fps": round(stream_fps, 3),
+                    "multi_ref_scan_R3_fps": multi_scan_fps,
                     "fullres_net768x432_N20736_fps": fullres_fps,
                     "chunk": k,
                     "frames_measured": n_chunks * k,
