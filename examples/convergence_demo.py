@@ -36,13 +36,18 @@ from PIL import Image
 DEFAULT_SRC = "/root/reference/sample_videos/ref"
 
 
-def build_pairs_dataset(src_root: str, dst_root: str, min_side: int = 256):
+def build_pairs_dataset(src_root: str, dst_root: str, min_side: int = 256,
+                        holdout: int = 0):
     """Folder tree of color images -> ImageNetPairsDataset layout.
 
     Images within the same source subdirectory are consecutive-paired (they
     are exemplars of the same scene, so the pair is a plausible retrieval —
     the role pairs.txt plays in the reference, lib/videoloader_imagenet.py
     parses <nameA>.JPEG <nameB>.JPEG <score> lines).
+
+    holdout: exclude the LAST `holdout` usable scene directories from the
+    training pairs and return them (name, [source paths]) for evaluation —
+    the trained model never sees their colors.
     """
     scene_dir = os.path.join(dst_root, "scene0")
     input_dir = os.path.join(scene_dir, "input")
@@ -50,36 +55,108 @@ def build_pairs_dataset(src_root: str, dst_root: str, min_side: int = 256):
         shutil.rmtree(dst_root)
     os.makedirs(input_dir)
 
-    groups = []
+    usable = []  # (subdir, [(name, src_path), ...])
     for sub in sorted(os.listdir(src_root)):
         d = os.path.join(src_root, sub)
         if not os.path.isdir(d):
             continue
-        names = []
+        entries = []
         for p in sorted(glob.glob(os.path.join(d, "*"))):
             try:
                 with Image.open(p) as im:
                     if min(im.size) < min_side or im.mode != "RGB":
                         continue
                     name = f"{sub}_{os.path.splitext(os.path.basename(p))[0]}"
-                    im.convert("RGB").save(
-                        os.path.join(input_dir, name + ".JPEG"), quality=95
-                    )
-                    names.append(name)
+                    entries.append((name, p))
             except Exception:
                 continue
-        if len(names) >= 2:
-            groups.append(names)
+        if len(entries) >= 2:
+            usable.append((sub, entries))
+
+    held = usable[len(usable) - holdout:] if holdout else []
+    train_groups = usable[: len(usable) - holdout] if holdout else usable
 
     n_pairs = 0
     with open(os.path.join(scene_dir, "pairs.txt"), "w") as f:
-        for names in groups:
+        for _, entries in train_groups:
+            for (name, p) in entries:
+                with Image.open(p) as im:
+                    im.convert("RGB").save(
+                        os.path.join(input_dir, name + ".JPEG"), quality=95
+                    )
+            names = [n for n, _ in entries]
             for a, b in zip(names, names[1:]):
                 f.write(f"{a}.JPEG {b}.JPEG 1.0\n")
                 n_pairs += 1
     if n_pairs == 0:
         raise SystemExit(f"no usable image pairs under {src_root}")
-    return n_pairs
+    return n_pairs, [(sub, [p for _, p in entries]) for sub, entries in held]
+
+
+def evaluate_holdout(held, workdir, ckpt_dir, image_size, platform=None):
+    """Colorize held-out scenes from their L channel and score vs ground
+    truth (VERDICT r2 #7: eval-harness numbers, not just loss curves).
+
+    Per scene: still #0 (color) is the exemplar, stills #1.. are the clip
+    (colorize_video reads only their luminance); ground truth is the same
+    stills CenterPadded to image_size with the bit-exact host transform
+    (data/transforms.py::center_pad), so PSNR/SSIM compare identically-
+    framed images. Scored twice: the trained checkpoint vs random init.
+    """
+    import numpy as np
+
+    from devc_tpu.data.transforms import center_pad
+
+    from cli.colorize import main as colorize_main
+    from cli.evaluate import main as evaluate_main
+    import contextlib
+    import io
+
+    results = {}
+    for tag, extra in (
+        ("trained", ["--train_ckpt", ckpt_dir]),
+        ("random_init", ["--random_init"]),
+    ):
+        ps, ss, trmse = [], [], []
+        for sub, paths in held:
+            clip = os.path.join(workdir, "eval", sub, "clip")
+            gt = os.path.join(workdir, "eval", sub, "gt")
+            out = os.path.join(workdir, "eval", sub, f"out_{tag}")
+            for d in (clip, gt):
+                os.makedirs(d, exist_ok=True)
+            for i, p in enumerate(paths[1:]):
+                with Image.open(p) as im:
+                    im = im.convert("RGB")
+                    im.save(os.path.join(clip, f"{i:05d}.png"))
+                    center_pad(im, image_size).save(
+                        os.path.join(gt, f"{i:05d}.png")
+                    )
+            argv = [
+                "--clip_path", clip, "--ref_path", paths[0],
+                "--output_path", out, "--no_video",
+                "--image_size", str(image_size[0]), str(image_size[1]),
+            ] + extra + (["--platform", platform] if platform else [])
+            colorize_main(argv)
+            ref_id = os.path.splitext(os.path.basename(paths[0]))[0]
+            out_dir = os.path.join(out, f"clip_{ref_id}")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                evaluate_main(["--dir_a", out_dir, "--dir_b", gt, "--json"])
+            m = json.loads(buf.getvalue().strip().splitlines()[-1])
+            ps.append(m["psnr_mean"])
+            ss.append(m["ssim_mean"])
+            if m.get("temporal_rmse") is not None:
+                trmse.append(m["temporal_rmse"])
+        results[tag] = {
+            "psnr_mean": round(float(np.mean(ps)), 3),
+            "ssim_mean": round(float(np.mean(ss)), 4),
+            "temporal_rmse": round(float(np.mean(trmse)), 3) if trmse else None,
+            "scenes": len(held),
+        }
+        print(f"  holdout[{tag}]: PSNR {results[tag]['psnr_mean']} dB  "
+              f"SSIM {results[tag]['ssim_mean']}  "
+              f"temporal RMSE {results[tag]['temporal_rmse']}")
+    return results
 
 
 def smoothed(vals, k):
@@ -103,6 +180,10 @@ def main(argv=None):
     ap.add_argument("--device-preprocess", action="store_true",
                     help="pass --device_preprocess to cli.train (uint8 "
                          "loader contract; measured 2.8x faster steps)")
+    ap.add_argument("--holdout", type=int, default=0,
+                    help="exclude the last N scenes from training and "
+                         "score the checkpoint on them (PSNR/SSIM vs GT "
+                         "color via cli.evaluate)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -114,8 +195,10 @@ def main(argv=None):
     enable_compilation_cache()
 
     data_root = os.path.join(args.workdir, "data")
-    n_pairs = build_pairs_dataset(args.src, data_root)
-    print(f"mini dataset: {n_pairs} pairs at {data_root}")
+    n_pairs, held = build_pairs_dataset(args.src, data_root,
+                                        holdout=args.holdout)
+    print(f"mini dataset: {n_pairs} pairs at {data_root}"
+          + (f", {len(held)} held-out scenes" if held else ""))
 
     log_dir = os.path.join(args.workdir, "runs")
     shutil.rmtree(log_dir, ignore_errors=True)
@@ -162,6 +245,12 @@ def main(argv=None):
         print(f"  {k:>22}: {first:10.4f} -> {last:10.4f}  ({marker})")
         if k == "total_loss" and not (last < first):
             ok = False
+    if held:
+        print(f"\n=== held-out evaluation ({len(held)} unseen scenes) ===")
+        summary["holdout"] = evaluate_holdout(
+            held, args.workdir, os.path.join(args.workdir, "ckpt"),
+            tuple(args.image_size), platform=args.platform,
+        )
     if args.summary_out:
         with open(args.summary_out, "w") as f:
             json.dump(summary, f, indent=1)
