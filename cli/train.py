@@ -66,6 +66,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n_model", type=int, default=1,
                    help="model-axis size of the mesh")
+    p.add_argument("--spmd_step", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="explicit-SPMD shard_map train step with bucketed "
+                        "gradient pmeans (vs GSPMD per-tensor all-reduces)."
+                        " auto = on for multi-device TPU meshes")
     p.add_argument("--platform", type=str, default=None,
                    choices=["cpu", "tpu", "axon"],
                    help="force a JAX backend (this image pins 'axon')")
@@ -203,8 +208,25 @@ def main(argv=None):
         contextual_direction=args.contextual_loss_direction,
         use_pallas=jax.default_backend() == "tpu",
     )
-    step_fn = make_train_step(tx_g, tx_d, vgg_params, cfg,
-                              device_preprocess=args.device_preprocess)
+    use_spmd = (args.spmd_step == "on"
+                or (args.spmd_step == "auto" and mesh.devices.size > 1
+                    and jax.default_backend() == "tpu"))
+    if use_spmd:
+        # multi-chip: the explicit-SPMD step buckets gradient reductions
+        # (one pmean per tree instead of GSPMD's per-tensor all-reduces —
+        # latency-bound on ICI) and computes the RaLSGAN relativistic
+        # means over the GLOBAL batch like the reference's DataParallel.
+        # auto picks it only on real TPU meshes: on CPU virtual-device
+        # meshes the concurrent shard_map executions convoy on the thunk
+        # executors' shared locks (see docs/ROADMAP.md round-3 notes)
+        from devc_tpu.train.loop import make_train_step_spmd
+
+        step_fn = make_train_step_spmd(
+            mesh, tx_g, tx_d, vgg_params, cfg,
+            device_preprocess=args.device_preprocess)
+    else:
+        step_fn = make_train_step(tx_g, tx_d, vgg_params, cfg,
+                                  device_preprocess=args.device_preprocess)
 
     logger = MetricsLogger(args.log_dir)
     if args.device_preprocess:

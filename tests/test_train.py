@@ -137,6 +137,59 @@ def test_train_step_data_sharded(setup):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_train_step_spmd_matches_single_program(setup):
+    """The explicit-SPMD shard_map step (bucketed grad pmeans, global
+    RaLSGAN means, ppermute batch roll — what cli.train uses on
+    multi-device TPU meshes and dryrun_multichip gates) must produce the
+    same update as the single-program step on the same global batch.
+
+    2 devices + trimmed perceptual/contextual weights keep the
+    virtual-device exec cheap (those losses are per-device local compute;
+    every collective structure still runs — see __graft_entry__.py)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from devc_tpu.parallel.mesh import make_mesh
+    from devc_tpu.train.loop import make_train_step_spmd
+
+    state, tx_g, tx_d, vgg = setup
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(n_data=2)
+    # luminance_noise=0: the spmd step draws per-shard noise via
+    # fold_in(axis_index) (loop.py:204-207) which is deliberately NOT the
+    # single-program draw; zeroing it makes the two steps deterministic
+    # on identical math
+    cfg = TrainConfig(use_pallas=False, remat=False, luminance_noise=0.0,
+                      weight_perceptual=0.0, weight_contextual=0.0)
+    batch = _batch(b=2, h=32, w=32)
+    key = jax.random.PRNGKey(3)
+
+    ref_fn = jax.jit(functools.partial(train_step, tx_g=tx_g, tx_d=tx_d,
+                                       vgg_params=vgg, cfg=cfg))
+    ref_state, ref_metrics = ref_fn(state, batch, key)
+
+    spmd_fn = make_train_step_spmd(mesh, tx_g, tx_d, vgg, cfg, donate=False)
+    data = lambda v: jax.device_put(
+        v, NamedSharding(mesh, P(*["data"] + [None] * (v.ndim - 1))))
+    repl = NamedSharding(mesh, P())
+    s_state, s_metrics = spmd_fn(
+        jax.device_put(state, repl),
+        {k: data(v) for k, v in batch.items()},
+        jax.device_put(key, repl),
+    )
+
+    # metrics: global means must agree (fp reassociation tolerance only)
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(s_metrics[k]), float(ref_metrics[k]), rtol=2e-3, atol=2e-4,
+        ), k
+    # updated params agree
+    for a, b in zip(jax.tree.leaves(ref_state.params_g),
+                    jax.tree.leaves(s_state.params_g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4)
+
+
 def test_gan_weight_zero_skips_discriminator(setup):
     state, tx_g, tx_d, vgg = setup
     cfg = TrainConfig(weight_gan=0.0, use_pallas=False)
