@@ -192,4 +192,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    from devc_tpu.utils.retry import bench_guard
+
+    sys.exit(bench_guard(
+        main, metric="frame_colorization_fps_input768x432_net384x216_1chip"
+    ))

@@ -187,4 +187,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    from devc_tpu.utils.retry import run_with_backend_retry
+
+    run_with_backend_retry(main)

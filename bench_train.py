@@ -107,4 +107,8 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    from devc_tpu.utils.retry import bench_guard
+
+    sys.exit(bench_guard(main, metric="train_step_ms_batch16_216x384_1chip", unit="ms/step"))

@@ -7,7 +7,7 @@ Protocol (stdin -> stdout, one JSON object per line):
 
   {"clip_path": "...", "ref_path": "...", "output_path": "...",
    "frame_propagate": false, "wls": true,
-   "mode": "stream"|"scan", "chunk": 16,
+   "mode": "stream"|"scan", "chunk": 64,
    "device_resize": false}                         # a job
   {"cmd": "batch", "slots": 4, "device_resize": false,
    "jobs": [{"clip_path": ..., "ref_path": ..., "output_path": ...}, ...]}

@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--epoch", type=int, default=40)
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--allow_vgg_mismatch", action="store_true",
+                   help="let --resume continue with a different VGG "
+                        "provenance than the checkpoint records")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints/default")
     p.add_argument("--checkpoint_step", type=int, default=2000)
     p.add_argument("--log_dir", type=str, default="runs")
@@ -36,8 +39,10 @@ def main(argv=None):
     p.add_argument("--lr_gamma", type=float, default=0.1)
     p.add_argument("--real_reference_probability", type=float, default=0.7)
     p.add_argument("--nonzero_placeholder_probability", type=float, default=0.0)
-    p.add_argument("--with_bad", action="store_true", default=True)
-    p.add_argument("--with_mid", action="store_true", default=True)
+    p.add_argument("--with_bad", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--with_mid", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--weight_l1", type=float, default=2.0)
     p.add_argument("--weight_contextual", type=float, default=0.2)
     p.add_argument("--weight_perceptual", type=float, default=0.001)
@@ -47,7 +52,10 @@ def main(argv=None):
     p.add_argument("--weight_consistent", type=float, default=0.02)
     p.add_argument("--weight_nonlocal_consistent", type=float, default=0.0)
     p.add_argument("--luminance_noise", type=float, default=2.0)
-    p.add_argument("--permute_data", action="store_true", default=True)
+    # BooleanOptionalAction so --no-permute_data actually works — the
+    # reference's `type=bool` flags are truthy for any string (SURVEY §5)
+    p.add_argument("--permute_data", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--domain_invariant", action="store_true")
     p.add_argument("--contextual_loss_direction", type=str, default="forward")
     p.add_argument("--vgg_ckpt", type=str, default="data/vgg19_conv.pth")
@@ -171,14 +179,34 @@ def main(argv=None):
 
     ckpt = CheckpointManager(args.checkpoint_dir,
                              save_interval_steps=args.checkpoint_step)
-    from devc_tpu.train.checkpoint import save_run_metadata
+    from devc_tpu.train.checkpoint import load_run_metadata, save_run_metadata
 
     # inference (cli.colorize --train_ckpt) reads this to refuse a
-    # mismatched feature extractor instead of silently degrading
-    save_run_metadata(args.checkpoint_dir, {"vgg_source": vgg_source})
-    if args.resume and ckpt.latest_step() is not None:
+    # mismatched feature extractor instead of silently degrading.
+    # On --resume the EXISTING metadata is authoritative: resuming a run
+    # trained against torch VGG on a host where --vgg_ckpt is missing must
+    # abort, not silently continue with the seed-1 random VGG and rewrite
+    # the recorded provenance (ADVICE r3, medium).
+    resuming = args.resume and ckpt.latest_step() is not None
+    if resuming:
+        prev_meta = load_run_metadata(args.checkpoint_dir)
+        prev_vgg = (prev_meta or {}).get("vgg_source")
+        if prev_vgg is not None and prev_vgg != vgg_source:
+            if not args.allow_vgg_mismatch:
+                raise SystemExit(
+                    f"--resume: checkpoint was trained with vgg_source="
+                    f"{prev_vgg!r} but this run would use {vgg_source!r}. "
+                    f"Provide the matching --vgg_ckpt, or pass "
+                    f"--allow_vgg_mismatch to override (this rewrites the "
+                    f"recorded provenance)."
+                )
+            save_run_metadata(args.checkpoint_dir, {"vgg_source": vgg_source})
+        elif prev_meta is None:
+            save_run_metadata(args.checkpoint_dir, {"vgg_source": vgg_source})
         state = ckpt.restore(state)
         print(f"resumed at step {int(state.step)}")
+    else:
+        save_run_metadata(args.checkpoint_dir, {"vgg_source": vgg_source})
 
     # ---- mesh + jit ----
     # the data axis must divide the batch; use the largest divisor that fits

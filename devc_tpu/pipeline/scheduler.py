@@ -381,6 +381,16 @@ class ClipBatchScheduler:
                 self.params, jnp.asarray(np.stack(frames)), last, ref_stack,
                 plans_h, plans_w,
             )
+            # the batched step ran over ALL b rows; rows that idled this
+            # iteration (zero_frame filler — e.g. a slot refilled after two
+            # consecutive decode failures) must not keep the model's output
+            # on a black frame as their recurrent carry, or the refilled
+            # job's first real frame diverges from serial execution
+            # (ADVICE r3). Re-zero those rows.
+            if len(active) < b:
+                keep = np.zeros((b, 1, 1, 1), np.float32)
+                keep[active] = 1.0
+                last = last * jnp.asarray(keep)
             out_np = np.asarray(out)
             for i in active:
                 s = slots[i]

@@ -44,9 +44,32 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError("no checkpoint to restore")
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(state_like._asdict())
-        )
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(state_like._asdict())
+            )
+        except (ValueError, KeyError, TypeError):
+            # Legacy checkpoint whose optimizer-state pytree layout differs
+            # from the current template (e.g. per-leaf optax moments written
+            # before the flat fused Adam became the default). Fall back to
+            # restoring params/sn/step only, keeping state_like's FRESH
+            # optimizer state — the behavior flat_opt.py documents.
+            raw = self._mgr.restore(step)
+            restored = state_like._asdict()
+            import jax
+
+            for k in ("step", "params_g", "params_d", "sn_state"):
+                if (jax.tree.structure(raw[k])
+                        != jax.tree.structure(restored[k])):
+                    raise  # not an optimizer-layout skew; don't mask it
+                restored[k] = raw[k]
+            print(
+                f"checkpoint step {step}: optimizer-state layout differs "
+                f"from the current optimizer (legacy per-leaf vs flat "
+                f"fused Adam); restored params/step with FRESH optimizer "
+                f"moments. Pass make_optimizers(fused=False) to resume "
+                f"moments of a legacy run exactly."
+            )
         return TrainState(**restored)
 
     def latest_step(self):

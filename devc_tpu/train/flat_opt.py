@@ -22,8 +22,11 @@ eps=1e-5, amsgrad=True) for the generator, Adam(2e-4) for the critic,
 StepLR(gamma=0.1) schedules (train.py:308-319, 477-479).
 
 Checkpoint note: the optimizer state pytree differs from the per-leaf
-optax form (flat arrays + count), so training checkpoints written before
-this change resume params but not optimizer moments.
+optax form (flat arrays + count). CheckpointManager.restore detects the
+structure mismatch when resuming a checkpoint written before this change
+and falls back to restoring params/sn/step with FRESH optimizer moments
+(with a printed notice); to resume a legacy run's moments exactly, build
+the optimizers with make_optimizers(fused=False).
 """
 
 from __future__ import annotations

@@ -468,7 +468,7 @@ def make_train_step_spmd(mesh, tx_g, tx_d, vgg_params,
     (state, metrics) callable.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     base = train_step_u8 if device_preprocess else train_step
 
@@ -481,6 +481,6 @@ def make_train_step_spmd(mesh, tx_g, tx_d, vgg_params,
         mesh=mesh,
         in_specs=(P(), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped, donate_argnums=(0,) if donate else ())

@@ -182,7 +182,8 @@ def test_train_step_spmd_matches_single_program(setup):
     for k in ref_metrics:
         np.testing.assert_allclose(
             float(s_metrics[k]), float(ref_metrics[k]), rtol=2e-3, atol=2e-4,
-        ), k
+            err_msg=k,
+        )
     # updated params agree
     for a, b in zip(jax.tree.leaves(ref_state.params_g),
                     jax.tree.leaves(s_state.params_g)):
