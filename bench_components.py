@@ -1,44 +1,56 @@
 """Per-component timing of the inference frame step on the real chip.
 
-Times each device stage of the 432x768 pipeline (net at 216x384) with
-async-chained dispatches over varied inputs, so relay latency amortizes and
-the relay's execution memoization is defeated. Also times full-precision vs
-bfloat16 variants of the conv-heavy stages to ground the fp32-vs-bf16
-decision in measurement (VERDICT r1 weak #4).
+Times each device stage of the 432x768 pipeline (net at 216x384). Also
+times full-precision vs bfloat16 variants of the conv-heavy stages to
+ground the fp32-vs-bf16 decision in measurement (VERDICT r1 weak #4).
 
-Usage: python bench_components.py [--platform cpu] [-n 20]
+Relay-proof methodology (round 4, devc_tpu/utils/measure.py): the relay
+acks dispatches before executing them and block_until_ready does NOT
+wait, so chained-dispatch timings measure enqueue rate, not the chip
+(measured 2026-08-18: 24 ColorVidNet dispatches "done" in 2.2 ms vs
+~250 ms real). Every stage is therefore timed as the DELTA between an
+8-dispatch and a 32-dispatch batch, each ended by a forced 4-byte
+checksum fetch over all outputs (the chip is serial, so forcing the
+outputs forces every execution; constant fetch/dispatch overheads cancel
+in the delta). Each dispatch mixes a fresh scalar into one input so the
+relay's (executable, inputs) execution memoization can never fire.
+
+Usage: python bench_components.py [--platform cpu] [-n 32]
 Prints one line per stage; not the driver bench (see bench.py).
 """
 
 from __future__ import annotations
 
 import argparse
-import time
 
 import numpy as np
 
+from devc_tpu.utils.measure import Forcer, delta_time
 
-def _chain_time(fn, inputs, n):
-    """Median-of-3 of: dispatch fn over n varied inputs, block at end."""
-    import jax
 
-    outs = [fn(*inputs(0))]  # warm/compile
-    jax.block_until_ready(outs)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+def _stage_time(fn, args_fn, forcer, n_small, n_large):
+    """Seconds/dispatch of jitted `fn`, relay-proof.
+
+    args_fn(i) must return fn's argument tuple with a component that is
+    unique for every i (a mixed-in scalar), so no execution repeats.
+    """
+    ctr = [0]
+
+    def run(n):
         outs = []
-        for i in range(n):
-            outs.append(fn(*inputs(i)))
-        jax.block_until_ready(outs)
-        times.append((time.perf_counter() - t0) / n)
-    return sorted(times)[1]
+        for _ in range(n):
+            ctr[0] += 1
+            outs.append(fn(*args_fn(ctr[0])))
+        return outs
+
+    return delta_time(run, n_small, n_large, forcer, rounds=5)
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
-    ap.add_argument("-n", type=int, default=20)
+    ap.add_argument("-n", type=int, default=32,
+                    help="large batch size of the delta (small is n//4)")
     ap.add_argument("--image-size", type=int, nargs=2, default=(432, 768))
     args = ap.parse_args(argv)
 
@@ -63,75 +75,84 @@ def main(argv=None):
     from devc_tpu.pipeline.video import _device_ref_features, _preprocess_device
 
     on_tpu = jax.default_backend() == "tpu"
-    n = args.n if on_tpu else 2
+    n_large = args.n if on_tpu else 3
+    n_small = max(1, n_large // 4)
+    forcer = Forcer()
     params = _make_params(jax.random.PRNGKey(0))
     h, w = args.image_size
     h2, w2 = h // 2, w // 2
     rng = np.random.RandomState(0)
 
-    # staged inputs (uploads excluded from stage timings)
+    # staged inputs (uploads excluded from stage timings); per-dispatch
+    # uniqueness comes from the scalar mixed in by each stage's args_fn
     frames = [
         jax.device_put(rng.randint(0, 256, (h, w, 3), np.uint8))
         for _ in range(8)
     ]
     jax.block_until_ready(frames)
     ref_lab_small, ref_state = _device_ref_features(params, frames[0])
-    jax.block_until_ready(ref_state["phi"])
+    forcer.force(ref_state["phi"])
 
     labs = [
         jax.device_put(rng.uniform(-50, 50, (1, h2, w2, 3)).astype(np.float32))
         for _ in range(8)
     ]
-    l_only = [x[..., 0:1] for x in labs]
     rgbs = [jax.device_put(rng.rand(1, h2, w2, 3).astype(np.float32)) for _ in range(8)]
     jax.block_until_ready([labs, rgbs])
 
+    def feps(i):
+        return jnp.float32(i * 1e-6)
+
     report = {}
 
-    # 1. preprocess (uint8 -> lab_large + lab_small)
-    pre = jax.jit(_preprocess_device)
-    report["preprocess"] = _chain_time(pre, lambda i: (frames[i % 8],), n)
+    # 1. preprocess (uint8 -> lab_large + lab_small); uniqueness via xor
+    pre = jax.jit(lambda x, s: _preprocess_device(x ^ s))
+    report["preprocess"] = _stage_time(
+        pre, lambda i: (frames[i % 8], jnp.uint8(i // 8 % 256)),
+        forcer, n_small, n_large,
+    )
 
     # 2. VGG19 on gray-replicated rgb
-    vgg = jax.jit(lambda p, x: vgg19_extract(p, x, FEATURE_TAPS))
-    report["vgg19_fp32"] = _chain_time(
-        vgg, lambda i: (params["vgg"], rgbs[i % 8]), n
+    vgg = jax.jit(lambda p, x, e: vgg19_extract(p, x + e, FEATURE_TAPS))
+    report["vgg19_fp32"] = _stage_time(
+        vgg, lambda i: (params["vgg"], rgbs[i % 8], feps(i)),
+        forcer, n_small, n_large,
     )
     params_vgg_bf16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params["vgg"])
-    report["vgg19_bf16"] = _chain_time(
+    report["vgg19_bf16"] = _stage_time(
         vgg,
-        lambda i: (params_vgg_bf16, rgbs[i % 8].astype(jnp.bfloat16)),
-        n,
+        lambda i: (params_vgg_bf16, rgbs[i % 8].astype(jnp.bfloat16),
+                   jnp.bfloat16(i * 1e-3)),
+        forcer, n_small, n_large,
     )
 
     # 3. query embedding (frame half of WarpNet)
-    feats = vgg(params["vgg"], rgbs[0])
+    feats = vgg(params["vgg"], rgbs[0], feps(0))
     a_n = tuple(cs.feature_normalize(f) for f in feats[1:])
-    a_n = jax.block_until_ready(a_n)
+    forcer.force(a_n)
 
     @jax.jit
-    def embed(p, *fs):
-        return embed_queries(p, fs, (h2, w2))
+    def embed(p, e, *fs):
+        return embed_queries(p, (fs[0] + e,) + fs[1:], (h2, w2))
 
-    report["warp_embed_q"] = _chain_time(
-        embed, lambda i: (params["warpnet"],) + a_n, n
+    report["warp_embed_q"] = _stage_time(
+        embed, lambda i: (params["warpnet"], feps(i)) + a_n,
+        forcer, n_small, n_large,
     )
 
     # 4. fused correspondence (pallas on tpu)
-    theta = jax.block_until_ready(embed(params["warpnet"], *a_n))
-    thetas = [
-        jax.device_put(np.asarray(theta) + rng.randn(*theta.shape).astype(np.float32) * 0.01)
-        for _ in range(8)
-    ]
+    theta = embed(params["warpnet"], feps(0), *a_n)
+    forcer.force(theta)
 
     corr = jax.jit(
-        lambda p, t: warp_with_keys(
-            p, t, ref_state["phi"], ref_state["values"], (h2, w2),
+        lambda p, t, e: warp_with_keys(
+            p, t + e, ref_state["phi"], ref_state["values"], (h2, w2),
             temperature=1e-10, use_pallas=on_tpu,
         )
     )
-    report["correspondence"] = _chain_time(
-        corr, lambda i: (params["warpnet"], thetas[i % 8]), n
+    report["correspondence"] = _stage_time(
+        corr, lambda i: (params["warpnet"], theta, feps(i)),
+        forcer, n_small, n_large,
     )
 
     # 5. ColorVidNet
@@ -139,21 +160,27 @@ def main(argv=None):
         jax.device_put(rng.uniform(-50, 50, (1, h2, w2, 7)).astype(np.float32))
         for _ in range(8)
     ]
-    cvn = jax.jit(colorvidnet_apply)
-    report["colorvid_fp32"] = _chain_time(
-        cvn, lambda i: (params["colorvid"], cin[i % 8]), n
+    cvn = jax.jit(lambda p, x, e: colorvidnet_apply(p, x + e))
+    report["colorvid_fp32"] = _stage_time(
+        cvn, lambda i: (params["colorvid"], cin[i % 8], feps(i)),
+        forcer, n_small, n_large,
     )
     params_cv_bf16 = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), params["colorvid"]
     )
-    report["colorvid_bf16"] = _chain_time(
-        cvn, lambda i: (params_cv_bf16, cin[i % 8].astype(jnp.bfloat16)), n
+    report["colorvid_bf16"] = _stage_time(
+        cvn,
+        lambda i: (params_cv_bf16, cin[i % 8].astype(jnp.bfloat16),
+                   jnp.bfloat16(i * 1e-3)),
+        forcer, n_small, n_large,
     )
 
     # 6. ab upsample x2 + chroma
     abs_ = [x[..., 1:3] for x in labs]
-    up = jax.jit(lambda x: resize_bilinear(x, (h, w)) * 1.25)
-    report["ab_upsample"] = _chain_time(up, lambda i: (abs_[i % 8],), n)
+    up = jax.jit(lambda x, e: resize_bilinear(x + e, (h, w)) * 1.25)
+    report["ab_upsample"] = _stage_time(
+        up, lambda i: (abs_[i % 8], feps(i)), forcer, n_small, n_large,
+    )
 
     # 7. FGS
     ab_up = [
@@ -164,8 +191,14 @@ def main(argv=None):
         jax.device_put(rng.randint(0, 256, (h, w)).astype(np.float32))
         for _ in range(8)
     ]
-    fgs = jax.jit(lambda x, g: fast_global_smoother(x, g, lam=500.0, sigma_color=4.0))
-    report["fgs"] = _chain_time(fgs, lambda i: (ab_up[i % 8], guides[i % 8]), n)
+    fgs = jax.jit(
+        lambda x, g, e: fast_global_smoother(x + e, g, lam=500.0,
+                                             sigma_color=4.0)
+    )
+    report["fgs"] = _stage_time(
+        fgs, lambda i: (ab_up[i % 8], guides[i % 8], feps(i)),
+        forcer, n_small, n_large,
+    )
 
     # 8. lab -> rgb -> uint8
     out_labs = [
@@ -173,12 +206,14 @@ def main(argv=None):
         for _ in range(8)
     ]
 
-    def post(x):
-        rgb = cs.lab_centered_to_rgb(x)[0]
+    def post(x, e):
+        rgb = cs.lab_centered_to_rgb(x + e)[0]
         return jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
 
     post = jax.jit(post)
-    report["lab_to_rgb_u8"] = _chain_time(post, lambda i: (out_labs[i % 8],), n)
+    report["lab_to_rgb_u8"] = _stage_time(
+        post, lambda i: (out_labs[i % 8], feps(i)), forcer, n_small, n_large,
+    )
 
     total = sum(report.values())
     for k, v in report.items():

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -76,9 +75,11 @@ def main(argv=None):
 
         measured_ms = None
         if not args.skip_measure:
-            # distinct inputs per rep: the axon relay memoizes identical
-            # (executable, inputs) pairs and would return in dispatch
-            # latency, measuring nothing (CLAUDE.md)
+            # relay-proof timing (utils/measure.py): forced-fetch delta
+            # between a 1-chunk and a 3-chunk chain; distinct inputs per
+            # dispatch (carry perturbation) defeat relay memoization
+            from devc_tpu.utils.measure import Forcer, delta_time
+
             rep_frames = [
                 jax.device_put(
                     rng.randint(0, 256, (k, h, w, 3), dtype=np.uint8)
@@ -86,15 +87,19 @@ def main(argv=None):
                 for _ in range(3)
             ]
             jax.block_until_ready(rep_frames)
-            out, _ = compiled(params, frames, last, ref_state)  # warm
-            jax.block_until_ready(out)
-            reps = []
-            for f in rep_frames:
-                t0 = time.perf_counter()
-                out, _ = compiled(params, f, last, ref_state)
-                jax.block_until_ready(out)
-                reps.append((time.perf_counter() - t0) / k * 1e3)
-            measured_ms = sorted(reps)[1]
+            forcer = Forcer()
+            ctr = [0]
+
+            def run(n):
+                ctr[0] += 1
+                cur = last + ctr[0] * 1e-6
+                out = None
+                for f in rep_frames[:n]:
+                    out, cur = compiled(params, f, cur, ref_state)
+                return (out, cur)
+
+            forcer.force(run(1))
+            measured_ms = delta_time(run, 1, 3, forcer) / k * 1e3
 
         rec = {
             "config": name,

@@ -5,7 +5,11 @@ jitted GAN train step (D step + G step, all 8 reference losses, two-frame
 unroll with rematerialization) at the reference config — batch 16,
 216x384 (train.py:42-47) — on ONE chip. Batches vary per step so the axon
 relay's execution memoization cannot fire; steps chain through the train
-state, so timing is an async carry chain with one block at the end.
+state. Relay-proof timing (round 4, utils/measure.py): the relay acks
+dispatches before executing and block_until_ready does not wait, so each
+timed region ends in a forced 4-byte checksum fetch and the step time is
+the delta between a 1-step and an n-step chain (constant fetch/dispatch
+overheads cancel).
 
 Usage: python bench_train.py [--platform cpu] [--batch 16] [--steps 4]
 Prints ONE JSON line (not the driver bench — that is bench.py).
@@ -16,7 +20,6 @@ from __future__ import annotations
 import argparse
 import functools
 import json
-import time
 
 import numpy as np
 
@@ -75,19 +78,37 @@ def main(argv=None):
                           vgg_params=vgg_params, cfg=cfg)
     )
 
+    from devc_tpu.utils.measure import Forcer, delta_time
+
     rng = np.random.RandomState(0)
     batches = [_make_batch(rng, b, h, w) for _ in range(args.steps)]
-    keys = jax.random.split(jax.random.PRNGKey(2), args.steps + 1)
+    # every run() call consumes FRESH keys so no (executable, inputs)
+    # pair ever repeats — the relay memoizes repeated executions
+    key_pool = jax.random.split(jax.random.PRNGKey(2),
+                                (args.steps + 1) * 16)
+    key_ctr = [0]
 
-    # compile + warm
-    state, metrics = fn(state, batches[0], keys[-1])
-    jax.block_until_ready(state.params_g)
+    def next_key():
+        key_ctr[0] += 1
+        return key_pool[key_ctr[0] - 1]
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, metrics = fn(state, batches[i], keys[i])
-    jax.block_until_ready(state.params_g)
-    dt = (time.perf_counter() - t0) / args.steps
+    forcer = Forcer()
+
+    # compile + warm (force — the relay executes nothing until a fetch)
+    state0, metrics = fn(state, batches[0], next_key())
+    del state  # free one full TrainState of HBM before the timed chains
+    forcer.force((state0.params_g["colorvid"]["conv10_ab"], metrics))
+
+    def run(n):
+        # fresh chain from the warm state; forcing the final (params leaf,
+        # metrics) forces the whole chain
+        s = state0
+        m = metrics
+        for i in range(n):
+            s, m = fn(s, batches[i], next_key())
+        return (s.params_g["colorvid"]["conv10_ab"], m)
+
+    dt = delta_time(run, 1, args.steps, forcer)
 
     print(
         json.dumps(

@@ -29,13 +29,16 @@ from devc_tpu.ops.dilated import (
 from devc_tpu.ops.layers import conv2d, conv_init, instance_norm, leaky_relu
 from devc_tpu.ops.resize import upsample_nearest
 
-# Run the dilation-2 stages 5-6 via space-to-batch (ops/dilated.py): the
-# four pixel parities stack along batch and the six dilated convs become
-# regular 3x3 convs, which the TPU conv emitter schedules ~MXU-optimally
-# while rhs_dilation>1 lowers to a much slower path. Exact (same windows,
-# same weights; masked SAME-pad + full-plane norm stats for odd dims).
-# DEVC_DILATED_DIRECT=1 restores the direct dilated lowering (A/B bench).
-_DILATED_S2B = os.environ.get("DEVC_DILATED_DIRECT", "") != "1"
+# Dilation-2 stages 5-6 lowering. The space-to-batch alternative
+# (ops/dilated.py: parity sub-grids stacked along batch so the six dilated
+# convs become regular 3x3 convs) is numerically exact, but the round-4
+# chip A/B REFUTED the hypothesis that rhs_dilation>1 lowers poorly on
+# TPU: direct dilated is faster at both net resolutions (2.06 vs 2.28 ms
+# @216x384, 10.44 vs 10.76 ms @432x768 per ColorVidNet apply; whole
+# pipeline 160.8 vs 157.2 fps — BASELINE.md round 4). Default is the
+# direct lowering; DEVC_DILATED_S2B=1 opts into space-to-batch for
+# re-testing on other chip generations.
+_DILATED_S2B = os.environ.get("DEVC_DILATED_S2B", "") == "1"
 
 # name -> (in, out, ksize, groups, bias, dilation)
 _CONVS = {

@@ -23,11 +23,13 @@ spatial plane (reference InstanceNorm2d semantics), not per sub-grid:
 across the four sub-grids with the padded positions masked out of both
 moments and the true pixel count as the divisor.
 
-Motivation: these six convs are ~0.6 of the full-res step's 1.6 TFLOP and
-the measured step sits at ~55 TFLOP/s effective (~28% of v5e peak) while
-its plain convs are well-shaped for the MXU — rhs_dilation>1 lowering is
-the prime suspect. A/B on the chip via DEVC_DILATED_DIRECT=1
-(bench_components.py); numbers in BASELINE.md once measured.
+Motivation was a perf hypothesis: these six convs are ~0.6 of the
+full-res step's 1.6 TFLOP and rhs_dilation>1 lowering was the prime
+suspect for the step's ~55 TFLOP/s effective. The round-4 chip A/B
+REFUTED it — direct dilated is faster at both resolutions (BASELINE.md
+round 4: 2.06 vs 2.28 ms @216x384, 10.44 vs 10.76 ms @432x768) — so the
+direct lowering is the default and DEVC_DILATED_S2B=1 opts back in
+(models/colorvidnet.py), kept for re-testing on other chip generations.
 """
 
 from __future__ import annotations
