@@ -73,10 +73,17 @@ def main(argv=None):
                                            use_schedule=True)
     vgg_params = _make_params(jax.random.PRNGKey(1))["vgg"]
     cfg = TrainConfig(use_pallas=on_tpu and not args.no_pallas)
+    # donate the state: without it, a chain of n undispatched steps (the
+    # relay defers execution until a fetch) holds n full TrainStates of
+    # HBM at once and batch 16 RESOURCE_EXHAUSTs. Each run() starts from
+    # a jitted COPY of the warm state so state0 itself is never donated;
+    # the copy is one dispatch, constant per run, and cancels in the delta.
     fn = jax.jit(
         functools.partial(train_step, tx_g=tx_g, tx_d=tx_d,
-                          vgg_params=vgg_params, cfg=cfg)
+                          vgg_params=vgg_params, cfg=cfg),
+        donate_argnums=(0,),
     )
+    copy_state = jax.jit(lambda s: jax.tree.map(lambda x: x.copy(), s))
 
     from devc_tpu.utils.measure import Forcer, delta_time
 
@@ -94,15 +101,18 @@ def main(argv=None):
 
     forcer = Forcer()
 
-    # compile + warm (force — the relay executes nothing until a fetch)
-    state0, metrics = fn(state, batches[0], next_key())
-    del state  # free one full TrainState of HBM before the timed chains
-    forcer.force((state0.params_g["colorvid"]["conv10_ab"], metrics))
+    # compile + warm (force — the relay executes nothing until a fetch).
+    # fn donates arg 0, so feed it a copy and keep state0 pristine.
+    state0 = state
+    s1, metrics = fn(copy_state(state0), batches[0], next_key())
+    forcer.force((s1.params_g["colorvid"]["conv10_ab"], metrics))
+    del s1
 
     def run(n):
-        # fresh chain from the warm state; forcing the final (params leaf,
-        # metrics) forces the whole chain
-        s = state0
+        # fresh chain from a copy of the warm state; forcing the final
+        # (params leaf, metrics) forces the whole chain. Donation reuses
+        # each step's state buffers, keeping the chain O(1) in HBM.
+        s = copy_state(state0)
         m = metrics
         for i in range(n):
             s, m = fn(s, batches[i], next_key())
