@@ -78,6 +78,11 @@ def main(argv=None):
     # HBM at once and batch 16 RESOURCE_EXHAUSTs. Each run() starts from
     # a jitted COPY of the warm state so state0 itself is never donated;
     # the copy is one dispatch, constant per run, and cancels in the delta.
+    # KNOWN ISSUE (2026-08-19): batch 16 still RESOURCE_EXHAUSTs through
+    # the relay even with donation and a 2-step chain — the relay appears
+    # to defer buffer frees/donation like it defers execution, so each
+    # chained step leaks a TrainState until a sync. Use --batch 8, or
+    # re-measure fetch-per-step with the fetch cost subtracted.
     fn = jax.jit(
         functools.partial(train_step, tx_g=tx_g, tx_d=tx_d,
                           vgg_params=vgg_params, cfg=cfg),
