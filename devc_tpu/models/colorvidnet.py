@@ -33,11 +33,11 @@ from devc_tpu.ops.resize import upsample_nearest
 # (ops/dilated.py: parity sub-grids stacked along batch so the six dilated
 # convs become regular 3x3 convs) is numerically exact, but the round-4
 # chip A/B REFUTED the hypothesis that rhs_dilation>1 lowers poorly on
-# TPU: direct dilated is faster at both net resolutions (2.06 vs 2.28 ms
-# @216x384, 10.44 vs 10.76 ms @432x768 per ColorVidNet apply; whole
-# pipeline 160.8 vs 157.2 fps — BASELINE.md round 4). Default is the
-# direct lowering; DEVC_DILATED_S2B=1 opts into space-to-batch for
-# re-testing on other chip generations.
+# TPU: direct dilated is faster at both net resolutions, isolated AND
+# whole-pipeline (canonical dated record: BASELINE.md round-4 table row
+# "Dilated-conv lowering A/B", 2026-08-18). Default is the direct
+# lowering; DEVC_DILATED_S2B=1 opts into space-to-batch for re-testing
+# on other chip generations.
 _DILATED_S2B = os.environ.get("DEVC_DILATED_S2B", "") == "1"
 
 # name -> (in, out, ksize, groups, bias, dilation)
