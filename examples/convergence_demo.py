@@ -102,10 +102,19 @@ def evaluate_holdout(held, workdir, ckpt_dir, image_size, platform=None):
     stills CenterPadded to image_size with the bit-exact host transform
     (data/transforms.py::center_pad), so PSNR/SSIM compare identically-
     framed images. Scored twice: the trained checkpoint vs random init.
+
+    The TRAINING size (216x384) is not a valid colorize input (the
+    inference pipeline requires H % 16 == 0, W % 32 == 0), so the eval
+    runs at the nearest valid size rounded UP (224x384 for the default) —
+    the nets are fully convolutional, and GT/prediction stay identically
+    framed because both use the rounded size.
     """
     import numpy as np
 
     from devc_tpu.data.transforms import center_pad
+
+    image_size = ((image_size[0] + 15) // 16 * 16,
+                  (image_size[1] + 31) // 32 * 32)
 
     from cli.colorize import main as colorize_main
     from cli.evaluate import main as evaluate_main
