@@ -52,6 +52,9 @@ def main(argv=None):
     ap.add_argument("-n", type=int, default=32,
                     help="large batch size of the delta (small is n//4)")
     ap.add_argument("--image-size", type=int, nargs=2, default=(432, 768))
+    ap.add_argument("--refs", type=int, default=1,
+                    help="also time the R-batched multi-exemplar stages "
+                         "(VERDICT r4 next #7)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -220,8 +223,112 @@ def main(argv=None):
         print(f"{k:>16}: {v*1e3:7.2f} ms")
     print(f"{'sum':>16}: {total*1e3:7.2f} ms  ({1.0/total:.1f} fps equivalent)")
 
+    # ---- multi-exemplar breakdown (VERDICT r4 next #7) ----
+    # _frame_body_multi shares preprocess/VGG/query-embed across refs and
+    # R-batches correspondence, ColorVidNet, ab-upsample, FGS and the Lab
+    # conversion. Timing each R-batched stage at R tells whether the
+    # multi-ref fps is "the R-scaled stages, as designed" or whether the
+    # shared half is being re-paid per ref.
+    if args.refs > 1:
+        r = args.refs
+        print(f"\n--- R={r} multi-exemplar stages (shared stages above "
+              f"are paid once) ---")
+        multi = {}
+        theta_r = jnp.broadcast_to(theta, (r,) + theta.shape[1:])
+        phi_r = jnp.broadcast_to(
+            ref_state["phi"], (r,) + ref_state["phi"].shape[1:]
+        )
+        values_r = jnp.broadcast_to(
+            ref_state["values"], (r,) + ref_state["values"].shape[1:]
+        )
+        jax.block_until_ready([theta_r, phi_r, values_r])
+
+        corr_r = jax.jit(
+            lambda p, t, e: warp_with_keys(
+                p, t + e, phi_r, values_r, (h2, w2),
+                temperature=1e-10, use_pallas=on_tpu,
+            )
+        )
+        multi["correspondence"] = _stage_time(
+            corr_r, lambda i: (params["warpnet"], theta_r, feps(i)),
+            forcer, n_small, n_large,
+        )
+
+        cin_r = [
+            jax.device_put(
+                rng.uniform(-50, 50, (r, h2, w2, 7)).astype(np.float32)
+            )
+            for _ in range(8)
+        ]
+        multi["colorvid"] = _stage_time(
+            cvn, lambda i: (params["colorvid"], cin_r[i % 8], feps(i)),
+            forcer, n_small, n_large,
+        )
+
+        ab_r = [
+            jax.device_put(
+                rng.uniform(-50, 50, (r, h2, w2, 2)).astype(np.float32)
+            )
+            for _ in range(8)
+        ]
+        multi["ab_upsample"] = _stage_time(
+            up, lambda i: (ab_r[i % 8], feps(i)), forcer, n_small, n_large,
+        )
+
+        ab_up_r = [
+            jax.device_put(
+                rng.uniform(-100, 100, (r, h, w, 2)).astype(np.float32)
+            )
+            for _ in range(8)
+        ]
+        fgs_r = jax.jit(
+            lambda x, g, e: jax.vmap(
+                lambda xi: fast_global_smoother(
+                    xi + e, g, lam=500.0, sigma_color=4.0
+                )
+            )(x)
+        )
+        multi["fgs"] = _stage_time(
+            fgs_r, lambda i: (ab_up_r[i % 8], guides[i % 8], feps(i)),
+            forcer, n_small, n_large,
+        )
+
+        out_labs_r = [
+            jax.device_put(
+                rng.uniform(-50, 50, (r, h, w, 3)).astype(np.float32)
+            )
+            for _ in range(8)
+        ]
+
+        def post_r(x, e):
+            rgb = cs.lab_centered_to_rgb(x + e)
+            return jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+
+        post_r = jax.jit(post_r)
+        multi["lab_to_rgb_u8"] = _stage_time(
+            post_r, lambda i: (out_labs_r[i % 8], feps(i)),
+            forcer, n_small, n_large,
+        )
+
+        shared = (report["preprocess"] + report["vgg19_fp32"]
+                  + report["warp_embed_q"])
+        single_scaled = (report["correspondence"] + report["colorvid_fp32"]
+                         + report["ab_upsample"] + report["fgs"]
+                         + report["lab_to_rgb_u8"])
+        for k, v in multi.items():
+            ratio = v / report[k if k != "colorvid" else "colorvid_fp32"]
+            print(f"{k:>16}: {v*1e3:7.2f} ms  ({ratio:.2f}x the R=1 stage)")
+        m_total = sum(multi.values())
+        print(f"{'R-scaled sum':>16}: {m_total*1e3:7.2f} ms "
+              f"(R=1: {single_scaled*1e3:.2f} ms)")
+        print(f"{'shared (once)':>16}: {shared*1e3:7.2f} ms")
+        print(f"staged multi-ref step ~ {(shared + m_total)*1e3:.2f} ms "
+              f"({1.0/(shared + m_total):.1f} fps equivalent)")
+
 
 if __name__ == "__main__":
-    from devc_tpu.utils.retry import run_with_backend_retry
+    import sys
 
-    run_with_backend_retry(main)
+    from devc_tpu.utils.retry import bench_guard
+
+    sys.exit(bench_guard(main, metric="component_breakdown_ms", unit="ms"))

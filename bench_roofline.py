@@ -118,6 +118,8 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    from devc_tpu.utils.retry import run_with_backend_retry
+    import sys
 
-    run_with_backend_retry(main)
+    from devc_tpu.utils.retry import bench_guard
+
+    sys.exit(bench_guard(main, metric="roofline_ms", unit="ms"))

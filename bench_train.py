@@ -11,8 +11,13 @@ timed region ends in a forced 4-byte checksum fetch and the step time is
 the delta between a 1-step and an n-step chain (constant fetch/dispatch
 overheads cancel).
 
-Usage: python bench_train.py [--platform cpu] [--batch 16] [--steps 4]
+Usage: python bench_train.py [--platform cpu] [--batch 8] [--steps 4]
 Prints ONE JSON line (not the driver bench — that is bench.py).
+
+Default batch is 8, not the reference's 16: through the relay, a chained
+batch-16 run RESOURCE_EXHAUSTs because the relay defers buffer
+frees/donation like it defers execution (BASELINE.md round-4/5 notes).
+Pass --batch 16 explicitly to retry the reference config.
 """
 
 from __future__ import annotations
@@ -42,10 +47,18 @@ def _make_batch(rng, b, h, w):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--image-size", type=int, nargs=2, default=(216, 384))
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--sync-every-step", action="store_true",
+                    help="fetch-per-step protocol: force a 4-byte fetch "
+                         "after EVERY step so the relay executes (and "
+                         "frees donated buffers) immediately — the only "
+                         "protocol that fits batch 16 if the relay defers "
+                         "frees along undispatched chains. The fetch+"
+                         "dispatch round-trip is cancelled by subtracting "
+                         "a noop-chain baseline measured the same way.")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -88,7 +101,13 @@ def main(argv=None):
                           vgg_params=vgg_params, cfg=cfg),
         donate_argnums=(0,),
     )
-    copy_state = jax.jit(lambda s: jax.tree.map(lambda x: x.copy(), s))
+    # chain-head copy takes a FRESH key (kept as a real input via
+    # keep_unused) so its (executable, inputs) pair never repeats: the
+    # relay memoizes repeated executions, and a memoized replay handing
+    # back cached buffers that we then donate to fn could alias
+    # already-donated storage (ADVICE r4).
+    copy_state = jax.jit(lambda s, _k: jax.tree.map(lambda x: x.copy(), s),
+                         keep_unused=True)
 
     from devc_tpu.utils.measure import Forcer, delta_time
 
@@ -97,7 +116,7 @@ def main(argv=None):
     # every run() call consumes FRESH keys so no (executable, inputs)
     # pair ever repeats — the relay memoizes repeated executions
     key_pool = jax.random.split(jax.random.PRNGKey(2),
-                                (args.steps + 1) * 16)
+                                (args.steps + 1) * 64)
     key_ctr = [0]
 
     def next_key():
@@ -109,21 +128,64 @@ def main(argv=None):
     # compile + warm (force — the relay executes nothing until a fetch).
     # fn donates arg 0, so feed it a copy and keep state0 pristine.
     state0 = state
-    s1, metrics = fn(copy_state(state0), batches[0], next_key())
+    s1, metrics = fn(copy_state(state0, next_key()), batches[0], next_key())
     forcer.force((s1.params_g["colorvid"]["conv10_ab"], metrics))
     del s1
 
-    def run(n):
-        # fresh chain from a copy of the warm state; forcing the final
-        # (params leaf, metrics) forces the whole chain. Donation reuses
-        # each step's state buffers, keeping the chain O(1) in HBM.
-        s = copy_state(state0)
-        m = metrics
-        for i in range(n):
-            s, m = fn(s, batches[i], next_key())
-        return (s.params_g["colorvid"]["conv10_ab"], m)
+    if args.sync_every_step:
+        # fetch-per-step: every step is forced (executed + freed) before
+        # the next dispatch, so live HBM is one TrainState regardless of
+        # n — works at batch 16 even if the relay defers frees along
+        # undispatched chains (probes/relay_free_probe.py). The per-step
+        # fetch+dispatch round-trip (20-180 ms relay-dependent) is
+        # cancelled by subtracting a noop-chain measured identically:
+        #   T_steps(n) - T_noops(n) = n * step_time.
+        import time
 
-    dt = delta_time(run, 1, args.steps, forcer)
+        noop = jax.jit(lambda x: x + 1.0)
+        x0 = jnp.zeros((8, 8), jnp.float32)
+        forcer.force(noop(x0))
+
+        def timed(fn_once, n):
+            t0 = time.perf_counter()
+            for i in range(n):
+                forcer.force(fn_once(i))
+            return time.perf_counter() - t0
+
+        # one live donated state threads through every forced step, so the
+        # per-iteration work matches the noop chain exactly: 1 dispatch +
+        # 1 forced fetch (the head copy is paid once, outside the timing)
+        s_holder = [copy_state(state0, next_key())]
+
+        def one_step(i):
+            s, m = fn(s_holder[0], batches[i % len(batches)], next_key())
+            s_holder[0] = s
+            return (s.params_g["colorvid"]["conv10_ab"], m)
+
+        def one_noop(i):
+            return noop(x0 + np.float32(i))
+
+        n = args.steps
+        reps = []
+        for _ in range(3):
+            t_steps = timed(one_step, n)
+            t_noops = timed(one_noop, n)
+            reps.append((t_steps - t_noops) / n)
+        reps.sort()
+        dt = reps[len(reps) // 2]
+    else:
+        def run(n):
+            # fresh chain from a copy of the warm state; forcing the final
+            # (params leaf, metrics) forces the whole chain. Donation
+            # reuses each step's state buffers, keeping the chain O(1) in
+            # HBM (if the relay honors frees — see relay_free_probe).
+            s = copy_state(state0, next_key())
+            m = metrics
+            for i in range(n):
+                s, m = fn(s, batches[i], next_key())
+            return (s.params_g["colorvid"]["conv10_ab"], m)
+
+        dt = delta_time(run, 1, args.steps, forcer)
 
     print(
         json.dumps(
@@ -136,6 +198,9 @@ def main(argv=None):
                     "losses": "all (L1/GAN/perceptual/contextual/smoothness/consistency)",
                     "pallas_vjp": cfg.use_pallas,
                     "remat": cfg.remat,
+                    "protocol": ("fetch-per-step minus noop-chain"
+                                 if args.sync_every_step
+                                 else "chained-steps delta"),
                 },
             }
         )
@@ -147,4 +212,4 @@ if __name__ == "__main__":
 
     from devc_tpu.utils.retry import bench_guard
 
-    sys.exit(bench_guard(main, metric="train_step_ms_batch16_216x384_1chip", unit="ms/step"))
+    sys.exit(bench_guard(main, metric="train_step_ms_1chip", unit="ms/step"))

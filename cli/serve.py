@@ -157,7 +157,7 @@ def main(argv=None):
                 frame_propagate=bool(job.get("frame_propagate", False)),
                 write_video=bool(job.get("write_video", False)),
                 mode=job.get("mode", "stream"),
-                chunk=int(job.get("chunk", 16)),
+                chunk=int(job.get("chunk", 64)),
                 device_resize=bool(job.get("device_resize", False)),
             )
             dt = time.time() - t0
