@@ -142,6 +142,8 @@ def main(argv=None):
         #   T_steps(n) - T_noops(n) = n * step_time.
         import time
 
+        import jax.numpy as jnp
+
         noop = jax.jit(lambda x: x + 1.0)
         x0 = jnp.zeros((8, 8), jnp.float32)
         forcer.force(noop(x0))
