@@ -11,13 +11,15 @@ timed region ends in a forced 4-byte checksum fetch and the step time is
 the delta between a 1-step and an n-step chain (constant fetch/dispatch
 overheads cancel).
 
-Usage: python bench_train.py [--platform cpu] [--batch 8] [--steps 4]
+Usage: python bench_train.py [--platform cpu] [--batch 16] [--steps 4]
 Prints ONE JSON line (not the driver bench — that is bench.py).
 
-Default batch is 8, not the reference's 16: through the relay, a chained
-batch-16 run RESOURCE_EXHAUSTs because the relay defers buffer
-frees/donation like it defers execution (BASELINE.md round-4/5 notes).
-Pass --batch 16 explicitly to retry the reference config.
+Memory: the compiled step's temp allocation is 14.2 GB at batch 16
+(probes/train_mem_probe.py), so the reference config fits 16 GB HBM only
+because this harness keeps exactly ONE live TrainState (donated in place)
+and a 2-deep batch pool. The r4 harness's pristine chain-head copy
+(+735 MB) was what pushed batch 16 over; the relay-defers-frees theory
+was refuted by probes/relay_free_probe.py.
 """
 
 from __future__ import annotations
@@ -47,7 +49,10 @@ def _make_batch(rng, b, h, w):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--optax", action="store_true",
+                    help="per-leaf optax optimizers instead of the fused "
+                         "flat Adam (isolates the r3 optimizer delta)")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--image-size", type=int, nargs=2, default=(216, 384))
     ap.add_argument("--no-pallas", action="store_true")
@@ -83,36 +88,32 @@ def main(argv=None):
     h, w = args.image_size
 
     state, tx_g, tx_d = create_train_state(jax.random.PRNGKey(0),
-                                           use_schedule=True)
+                                           use_schedule=True,
+                                           fused=not args.optax)
     vgg_params = _make_params(jax.random.PRNGKey(1))["vgg"]
     cfg = TrainConfig(use_pallas=on_tpu and not args.no_pallas)
-    # donate the state: without it, a chain of n undispatched steps (the
-    # relay defers execution until a fetch) holds n full TrainStates of
-    # HBM at once and batch 16 RESOURCE_EXHAUSTs. Each run() starts from
-    # a jitted COPY of the warm state so state0 itself is never donated;
-    # the copy is one dispatch, constant per run, and cancels in the delta.
-    # KNOWN ISSUE (2026-08-19): batch 16 still RESOURCE_EXHAUSTs through
-    # the relay even with donation and a 2-step chain — the relay appears
-    # to defer buffer frees/donation like it defers execution, so each
-    # chained step leaks a TrainState until a sync. Use --batch 8, or
-    # re-measure fetch-per-step with the fetch cost subtracted.
+    # Memory budget (probes/train_mem_probe.py, 2026-08-19, one v5e): the
+    # compiled step's TEMP allocation alone is 14.2 GB at batch 16 (10.3 GB
+    # at batch 8) + ~0.6 GB generated code, independent of the optimizer
+    # choice (per-leaf optax: 14.0 GB — the r3 flat-Adam restructure is
+    # NOT the hog). relay_free_probe.py separately refuted the r4 theory
+    # that the relay defers donated-buffer frees. Batch 16 therefore only
+    # fits if the harness holds NOTHING beyond the one donated TrainState:
+    # no pristine chain-head copy (r4's harness kept one, +735 MB, and
+    # OOM'd), and a 2-deep batch pool (+180 MB, not 4). run() threads the
+    # single live state through every call — step time is state-independent
+    # (same shapes), and with the state evolving plus fresh keys no
+    # (executable, inputs) pair ever repeats for the relay to memoize.
     fn = jax.jit(
         functools.partial(train_step, tx_g=tx_g, tx_d=tx_d,
                           vgg_params=vgg_params, cfg=cfg),
         donate_argnums=(0,),
     )
-    # chain-head copy takes a FRESH key (kept as a real input via
-    # keep_unused) so its (executable, inputs) pair never repeats: the
-    # relay memoizes repeated executions, and a memoized replay handing
-    # back cached buffers that we then donate to fn could alias
-    # already-donated storage (ADVICE r4).
-    copy_state = jax.jit(lambda s, _k: jax.tree.map(lambda x: x.copy(), s),
-                         keep_unused=True)
 
     from devc_tpu.utils.measure import Forcer, delta_time
 
     rng = np.random.RandomState(0)
-    batches = [_make_batch(rng, b, h, w) for _ in range(args.steps)]
+    batches = [_make_batch(rng, b, h, w) for _ in range(min(args.steps, 2))]
     # every run() call consumes FRESH keys so no (executable, inputs)
     # pair ever repeats — the relay memoizes repeated executions
     key_pool = jax.random.split(jax.random.PRNGKey(2),
@@ -126,11 +127,12 @@ def main(argv=None):
     forcer = Forcer()
 
     # compile + warm (force — the relay executes nothing until a fetch).
-    # fn donates arg 0, so feed it a copy and keep state0 pristine.
-    state0 = state
-    s1, metrics = fn(copy_state(state0, next_key()), batches[0], next_key())
+    # `state` is donated here and never referenced again: the live state
+    # in s_holder is the ONLY TrainState in HBM for the rest of the run.
+    s1, metrics = fn(state, batches[0], next_key())
     forcer.force((s1.params_g["colorvid"]["conv10_ab"], metrics))
-    del s1
+    s_holder = [s1]
+    del state, s1
 
     if args.sync_every_step:
         # fetch-per-step: every step is forced (executed + freed) before
@@ -154,11 +156,9 @@ def main(argv=None):
                 forcer.force(fn_once(i))
             return time.perf_counter() - t0
 
-        # one live donated state threads through every forced step, so the
-        # per-iteration work matches the noop chain exactly: 1 dispatch +
-        # 1 forced fetch (the head copy is paid once, outside the timing)
-        s_holder = [copy_state(state0, next_key())]
-
+        # the one live donated state threads through every forced step, so
+        # the per-iteration work matches the noop chain exactly: 1 dispatch
+        # + 1 forced fetch
         def one_step(i):
             s, m = fn(s_holder[0], batches[i % len(batches)], next_key())
             s_holder[0] = s
@@ -175,19 +175,23 @@ def main(argv=None):
             reps.append((t_steps - t_noops) / n)
         reps.sort()
         dt = reps[len(reps) // 2]
+        all_deltas = reps
     else:
         def run(n):
-            # fresh chain from a copy of the warm state; forcing the final
+            # advance the single live state n steps; forcing the final
             # (params leaf, metrics) forces the whole chain. Donation
-            # reuses each step's state buffers, keeping the chain O(1) in
-            # HBM (if the relay honors frees — see relay_free_probe).
-            s = copy_state(state0, next_key())
+            # reuses the state buffers in place, so the chain is O(1) in
+            # HBM (frees along undispatched chains verified prompt by
+            # relay_free_probe).
+            s = s_holder[0]
             m = metrics
             for i in range(n):
-                s, m = fn(s, batches[i], next_key())
+                s, m = fn(s, batches[i % len(batches)], next_key())
+            s_holder[0] = s
             return (s.params_g["colorvid"]["conv10_ab"], m)
 
-        dt = delta_time(run, 1, args.steps, forcer)
+        dt, all_deltas = delta_time(run, 1, args.steps, forcer,
+                                    return_all=True)
 
     print(
         json.dumps(
@@ -196,10 +200,12 @@ def main(argv=None):
                 "value": round(dt * 1e3, 1),
                 "unit": "ms/step",
                 "samples_per_sec": round(b / dt, 2),
+                "round_deltas_ms": [round(d * 1e3, 1) for d in all_deltas],
                 "config": {
                     "losses": "all (L1/GAN/perceptual/contextual/smoothness/consistency)",
                     "pallas_vjp": cfg.use_pallas,
                     "remat": cfg.remat,
+                    "optimizer": "optax per-leaf" if args.optax else "flat fused Adam",
                     "protocol": ("fetch-per-step minus noop-chain"
                                  if args.sync_every_step
                                  else "chained-steps delta"),

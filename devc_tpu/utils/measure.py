@@ -52,13 +52,14 @@ class Forcer:
 
 
 def delta_time(run, n_small: int, n_large: int, forcer: Forcer,
-               rounds: int = 3) -> float:
+               rounds: int = 3, return_all: bool = False):
     """Seconds of device time per work unit, relay-proof.
 
     run(n) must dispatch n units of chained work and return a pytree to
     checksum (the final output/carry — forcing it must force everything).
     Returns the median over `rounds` of (T(n_large) - T(n_small)) /
-    (n_large - n_small), each T ending in a forced fetch.
+    (n_large - n_small), each T ending in a forced fetch; with
+    return_all, (median, sorted per-round deltas) for variance checks.
     """
     # warm the forcer on both result structures (they are usually equal)
     forcer.force(run(n_small))
@@ -72,4 +73,5 @@ def delta_time(run, n_small: int, n_large: int, forcer: Forcer,
         t2 = time.perf_counter()
         deltas.append(((t2 - t1) - (t1 - t0)) / (n_large - n_small))
     deltas.sort()
-    return deltas[len(deltas) // 2]
+    med = deltas[len(deltas) // 2]
+    return (med, deltas) if return_all else med
