@@ -161,44 +161,72 @@ def main(argv=None):
             return outs
 
         forcer.force(scan_corr(thetas[0], net_dt(0.5)))
+        try:
+            ca = scan_corr.lower(thetas[0], net_dt(0.5)).compile(
+            ).cost_analysis()
+            rec["scan_gflop"] = round(ca.get("flops", 0.0) / 1e9 / k, 2)
+            rec["scan_gb"] = round(ca.get("bytes accessed", 0.0) / 1e9 / k, 3)
+        except Exception:  # noqa: BLE001
+            pass
         rec["scan_ms"] = round(
             delta_time(run_scan, 1, args.n_chunks, forcer) / k * 1e3, 3)
-        print(f"{dt_name} scan-only: {rec['scan_ms']} ms", flush=True)
+        print(f"{dt_name} scan-only: {rec['scan_ms']} ms "
+              f"({rec.get('scan_gflop', '?')} GFLOP/frame)", flush=True)
 
-        # ---- 3. scan with embed -> corr body (VGG from uint8 gray) ----
-        @jax.jit
-        def scan_embed_corr(fs, e):
-            def body(_, f_u8):
-                a_l = (f_u8.astype(jnp.float32) / 255.0 * 100.0 - 50.0)
-                a_l = a_l[None, ..., 0:1].astype(net_dt) + e
-                a_rgb = cs.gray_to_rgb(a_l[0][None])
-                feats = vgg19_extract(params["vgg"], a_rgb, FEATURE_TAPS)
-                a_n = tuple(cs.feature_normalize(x) for x in feats[1:])
-                theta = embed_queries(params["warpnet"], a_n, (h2, w2))
-                warped, sim = warp_with_keys(
-                    params["warpnet"], theta, phi, values, (h2, w2),
-                    temperature=1e-10, use_pallas=on_tpu, out_dtype=net_dt,
-                )
-                return None, (jnp.sum(warped.astype(jnp.float32)),
-                              jnp.sum(sim.astype(jnp.float32)))
-            _, ys = jax.lax.scan(body, None, fs)
-            return ys
+        # ---- 3. scan with embed -> corr body (VGG from uint8 gray);
+        # barrier=True inserts jax.lax.optimization_barrier on theta at
+        # the embed->kernel boundary (kills producer-fusion interactions
+        # with the Mosaic custom call without changing semantics) ----
+        def make_scan_embed_corr(barrier):
+            @jax.jit
+            def scan_embed_corr(fs, e):
+                def body(_, f_u8):
+                    a_l = (f_u8.astype(jnp.float32) / 255.0 * 100.0 - 50.0)
+                    a_l = a_l[None, ..., 0:1].astype(net_dt) + e
+                    a_rgb = cs.gray_to_rgb(a_l[0][None])
+                    feats = vgg19_extract(params["vgg"], a_rgb, FEATURE_TAPS)
+                    a_n = tuple(cs.feature_normalize(x) for x in feats[1:])
+                    theta = embed_queries(params["warpnet"], a_n, (h2, w2))
+                    if barrier:
+                        theta = jax.lax.optimization_barrier(theta)
+                    warped, sim = warp_with_keys(
+                        params["warpnet"], theta, phi, values, (h2, w2),
+                        temperature=1e-10, use_pallas=on_tpu,
+                        out_dtype=net_dt,
+                    )
+                    return None, (jnp.sum(warped.astype(jnp.float32)),
+                                  jnp.sum(sim.astype(jnp.float32)))
+                _, ys = jax.lax.scan(body, None, fs)
+                return ys
+            return scan_embed_corr
 
-        ectr = [0]
+        for tag, barrier in (("scan_embed_corr", False),
+                             ("scan_embed_corr_barrier", True)):
+            prog = make_scan_embed_corr(barrier)
+            ectr = [0]
 
-        def run_embed(n):
-            outs = []
-            for i in range(n):
-                ectr[0] += 1
-                outs.append(scan_embed_corr(frames_u8[i % len(frames_u8)],
-                                            net_dt(ectr[0] * 1e-6)))
-            return outs
+            def run_embed(n, prog=prog, ectr=ectr):
+                outs = []
+                for i in range(n):
+                    ectr[0] += 1
+                    outs.append(prog(frames_u8[i % len(frames_u8)],
+                                     net_dt(ectr[0] * 1e-6)))
+                return outs
 
-        forcer.force(scan_embed_corr(frames_u8[0], net_dt(0.5)))
-        rec["scan_embed_corr_ms"] = round(
-            delta_time(run_embed, 1, args.n_chunks, forcer) / k * 1e3, 3)
-        print(f"{dt_name} scan embed+corr: {rec['scan_embed_corr_ms']} ms",
-              flush=True)
+            forcer.force(prog(frames_u8[0], net_dt(0.5)))
+            try:
+                ca = prog.lower(frames_u8[0], net_dt(0.5)).compile(
+                ).cost_analysis()
+                rec[tag + "_gflop"] = round(ca.get("flops", 0.0) / 1e9 / k, 2)
+                rec[tag + "_gb"] = round(
+                    ca.get("bytes accessed", 0.0) / 1e9 / k, 3)
+            except Exception:  # noqa: BLE001 — cost analysis is best-effort
+                pass
+            rec[tag + "_ms"] = round(
+                delta_time(run_embed, 1, args.n_chunks, forcer) / k * 1e3, 3)
+            print(f"{dt_name} {tag}: {rec[tag + '_ms']} ms "
+                  f"({rec.get(tag + '_gflop', '?')} GFLOP/frame, "
+                  f"{rec.get(tag + '_gb', '?')} GB/frame)", flush=True)
 
         results[dt_name] = rec
 
