@@ -91,27 +91,146 @@ def main(argv=None):
                 feats = vgg19_extract(params["vgg"], a_rgb, FEATURE_TAPS)
                 a_n = tuple(cs.feature_normalize(x) for x in feats[1:])
                 theta = embed_queries(params["warpnet"], a_n, (h2, w2))
-                if with_corr:
+                if with_corr == "corr":
                     warped, sim = warp_with_keys(
                         params["warpnet"], theta, phi, values, (h2, w2),
                         temperature=1e-10, use_pallas=on_tpu,
                         out_dtype=net_dt,
                     )
                     return None, (jnp.sum(warped), jnp.sum(sim))
+                if with_corr == "constcorr":
+                    # kernel co-resident but fed a CONSTANT theta: embed is
+                    # still computed (consumed by a sum) with no data path
+                    # into the kernel — separates co-residence effects from
+                    # the embed->kernel dependence
+                    warped, sim = warp_with_keys(
+                        params["warpnet"], theta_const + e, phi, values,
+                        (h2, w2), temperature=1e-10, use_pallas=on_tpu,
+                        out_dtype=net_dt,
+                    )
+                    return None, (jnp.sum(warped) + jnp.sum(theta),
+                                  jnp.sum(sim))
+                if with_corr == "rawcorr":
+                    # kernel fed the UN-normalized theta projection: the
+                    # dependence reaches the convs but skips
+                    # _center_normalize (numerics garbage — timing only)
+                    from devc_tpu.models.warpnet import _embed
+                    from devc_tpu.ops.layers import conv2d
+
+                    a_emb = _embed(params["warpnet"], a_n)
+                    raw = conv2d(params["warpnet"]["theta"], a_emb)
+                    raw = raw.reshape(1, (h2 // 4) * (w2 // 4), 256)
+                    warped, sim = warp_with_keys(
+                        params["warpnet"], raw, phi, values, (h2, w2),
+                        temperature=1e-10, use_pallas=on_tpu,
+                        out_dtype=net_dt,
+                    )
+                    return None, (jnp.sum(warped), jnp.sum(sim))
+                if with_corr == "normcorr":
+                    # kernel dependence ONLY through _center_normalize of a
+                    # constant (embed/VGG computed beside, summed): if slow,
+                    # the normalize->kernel hop alone triggers the anomaly
+                    from devc_tpu.models.warpnet import _center_normalize
+
+                    theta_n = _center_normalize(theta_const + e)
+                    warped, sim = warp_with_keys(
+                        params["warpnet"], theta_n, phi, values, (h2, w2),
+                        temperature=1e-10, use_pallas=on_tpu,
+                        out_dtype=net_dt,
+                    )
+                    return None, (jnp.sum(warped) + jnp.sum(theta),
+                                  jnp.sum(sim))
                 return None, (jnp.sum(theta), jnp.sum(theta[..., 0]))
             _, ys = jax.lax.scan(body, None, fs)
             return ys
         return scan_embed
 
-    for name, prog, arg in (("scan", scan_corr, thetas),
-                            ("embed", make_scan_embed(True), frames_u8),
-                            ("embed_nocorr", make_scan_embed(False),
-                             frames_u8)):
+    theta_const = thetas[0]
+
+    def embed_of(f_u8, e):
+        a_l = (f_u8.astype(jnp.float32) / 255.0 * 100.0 - 50.0)
+        a_l = a_l[None, ..., 0:1] + e
+        a_rgb = cs.gray_to_rgb(a_l[0][None])
+        feats = vgg19_extract(params["vgg"], a_rgb, FEATURE_TAPS)
+        a_n = tuple(cs.feature_normalize(x) for x in feats[1:])
+        return embed_queries(params["warpnet"], a_n, (h2, w2))
+
+    @jax.jit
+    def scan_twoscan(fs, e):
+        # convs and the Mosaic kernel in SEPARATE while loops: scan 1
+        # embeds every frame (stacking thetas in HBM), scan 2 runs the
+        # kernel over the stack. If the anomaly is the custom call
+        # blocking XLA's space-to-batch rewrite of the conv chain it
+        # feeds from, this dodges it at the cost of k*21 MB of stacking.
+        def body1(_, f_u8):
+            return None, embed_of(f_u8, e)[0]
+        _, theta_stack = jax.lax.scan(body1, None, fs)
+
+        def body2(_, t):
+            warped, sim = warp_with_keys(
+                params["warpnet"], t[None], phi, values, (h2, w2),
+                temperature=1e-10, use_pallas=on_tpu, out_dtype=net_dt,
+            )
+            return None, (jnp.sum(warped), jnp.sum(sim))
+        _, ys = jax.lax.scan(body2, None, theta_stack)
+        return ys
+
+    @jax.jit
+    def scan_pipelined(fs, e):
+        # ONE scan, software-pipelined: the kernel consumes the CARRY
+        # theta (loop parameter) while this iteration's convs produce
+        # the NEXT carry. The conv->kernel dependence never appears
+        # inside one iteration's dataflow. Numerics are shifted by one
+        # frame — timing-only probe (carry seeded with a constant).
+        def body(theta_prev, f_u8):
+            warped, sim = warp_with_keys(
+                params["warpnet"], theta_prev, phi, values, (h2, w2),
+                temperature=1e-10, use_pallas=on_tpu, out_dtype=net_dt,
+            )
+            theta_next = embed_of(f_u8, e)
+            return theta_next, (jnp.sum(warped), jnp.sum(sim))
+        _, ys = jax.lax.scan(body, theta_const + e, fs)
+        return ys
+
+    from devc_tpu.utils.measure import Forcer, delta_time
+
+    forcer = Forcer()
+    arg_pool = {}
+
+    all_modes = (("scan", scan_corr, thetas),
+                 ("embed", make_scan_embed("corr"), frames_u8),
+                 ("embed_nocorr", make_scan_embed("nocorr"), frames_u8),
+                 ("embed_constcorr", make_scan_embed("constcorr"),
+                  frames_u8),
+                 ("embed_rawcorr", make_scan_embed("rawcorr"), frames_u8),
+                 ("embed_normcorr", make_scan_embed("normcorr"),
+                  frames_u8),
+                 ("embed_twoscan", scan_twoscan, frames_u8),
+                 ("embed_pipelined", scan_pipelined, frames_u8))
+    if os.environ.get("DEVC_HLO_MODES"):
+        wanted = os.environ["DEVC_HLO_MODES"].split(",")
+        all_modes = tuple(m for m in all_modes if m[0] in wanted)
+
+    for name, prog, arg in all_modes:
         txt = prog.lower(arg, jnp.float32(0.5)).compile().as_text()
         path = os.path.join(args.out_dir, f"corr_hlo_{name}.txt")
         with open(path, "w") as f:
             f.write(txt)
-        print(f"{name}: {len(txt)/1e6:.1f} MB -> {path}", flush=True)
+        # relay-proof per-frame timing of the same program (chained calls
+        # with per-call varied epsilon; n-call delta)
+        forcer.force(prog(arg, jnp.float32(0.5)))
+        ctr = arg_pool.setdefault(name, [0])
+
+        def run(n, prog=prog, arg=arg, ctr=ctr):
+            outs = []
+            for _ in range(n):
+                ctr[0] += 1
+                outs.append(prog(arg, jnp.float32(ctr[0] * 1e-6)))
+            return outs
+
+        ms = delta_time(run, 1, 4, forcer) / k * 1e3
+        print(f"{name}: {len(txt)/1e6:.1f} MB -> {path}; "
+              f"{ms:.3f} ms/frame", flush=True)
     return 0
 
 
