@@ -134,6 +134,13 @@ def main(argv=None):
                         "frames as one lax.scan program")
     p.add_argument("--chunk", type=int, default=64,
                    help="frames per scan program (mode=scan)")
+    p.add_argument("--split_embed", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="mode=scan: run VGG/embed and correspondence/"
+                        "generator as two lax.scan loops so the Mosaic "
+                        "corr kernel does not block XLA's space-to-batch "
+                        "conv rewrite (default: on for TPU, off "
+                        "elsewhere; see BASELINE.md round-5)")
     p.add_argument("--device_resize", action="store_true",
                    help="run the CenterPad anti-aliased resize on device "
                         "as matmuls (host keeps only JPEG decode; needs a "
@@ -211,6 +218,7 @@ def main(argv=None):
             use_pallas=False if args.no_pallas else None,
             write_video=not args.no_video,
             device_resize=args.device_resize,
+            split_embed=args.split_embed,
         )
         dt = time.time() - t0
         n = sum(len(w) for w in written)
@@ -238,6 +246,7 @@ def main(argv=None):
                 chunk=args.chunk,
                 compute_dtype="bfloat16" if args.bf16 else None,
                 device_resize=args.device_resize,
+                split_embed=args.split_embed,
             )
         except Exception as err:  # keep going per exemplar (reference
             print(f"  error colorizing with {ref}: {err}")  # test.py:179-181)

@@ -8,7 +8,10 @@ Protocol (stdin -> stdout, one JSON object per line):
   {"clip_path": "...", "ref_path": "...", "output_path": "...",
    "frame_propagate": false, "wls": true,
    "mode": "stream"|"scan", "chunk": 64,
-   "device_resize": false}                         # a job
+   "device_resize": false,
+   "split_embed": null}                            # a job (split_embed:
+                                                   # null/absent = auto —
+                                                   # on for TPU scan mode)
   {"cmd": "batch", "slots": 4, "device_resize": false,
    "jobs": [{"clip_path": ..., "ref_path": ..., "output_path": ...}, ...]}
                                                    # many clips, batched on
@@ -159,6 +162,7 @@ def main(argv=None):
                 mode=job.get("mode", "stream"),
                 chunk=int(job.get("chunk", 64)),
                 device_resize=bool(job.get("device_resize", False)),
+                split_embed=job.get("split_embed"),  # None -> auto
             )
             dt = time.time() - t0
             print(

@@ -99,6 +99,7 @@ def _frame_body(
     use_pallas: bool | None,
     compute_dtype=None,
     resize_plan=None,
+    theta=None,
 ):
     """The whole per-frame device computation (shared by the jitted
     per-frame step and the whole-clip scan).
@@ -115,6 +116,14 @@ def _frame_body(
     resize_plan=(A_h, A_w) moves the host CenterPad onto the device
     (ops/device_resize.py): rgb_u8 is then the RAW decoded frame and the
     anti-aliased resize + crop runs as two matmuls inside this program.
+
+    theta: optional precomputed query embedding [1, N, C] (from
+    `_embed_body` in the split-embed scan — see `_device_chunk_scan`).
+    When given, the VGG/embed stages are skipped here: the Mosaic corr
+    kernel then never consumes a conv output produced in the same
+    dataflow scope, which keeps XLA's space-to-batch rewrite of the
+    batch-1 conv chain alive (measured +6.6 ms/frame at net 768x432
+    when blocked — BASELINE.md round-5 corr-in-context row).
     """
     if resize_plan is not None:
         rgb_u8 = device_centerpad(rgb_u8, *resize_plan)
@@ -128,17 +137,33 @@ def _frame_body(
     else:
         net_in, net_last, net_ref = lab_small, last_lab, ref_state
 
-    pred_ab, _warped, _sim, _ = frame_colorization(
-        params,
-        net_in,
-        None,  # exemplar Lab unused when ref_embedding is given
-        net_last,
-        net_ref["features"],
-        temperature=temperature,
-        joint_training=False,
-        use_pallas=use_pallas,
-        ref_embedding=(net_ref["phi"], net_ref["values"]),
-    )
+    if theta is None:
+        pred_ab, _warped, _sim, _ = frame_colorization(
+            params,
+            net_in,
+            None,  # exemplar Lab unused when ref_embedding is given
+            net_last,
+            net_ref["features"],
+            temperature=temperature,
+            joint_training=False,
+            use_pallas=use_pallas,
+            ref_embedding=(net_ref["phi"], net_ref["values"]),
+        )
+    else:
+        from devc_tpu.models.colorvidnet import colorvidnet_apply
+        from devc_tpu.models.warpnet import warp_with_keys
+
+        a_l = net_in[..., 0:1]
+        hw = (a_l.shape[1], a_l.shape[2])
+        warped_lab, similarity = warp_with_keys(
+            params["warpnet"], theta, net_ref["phi"], net_ref["values"],
+            hw, temperature=temperature, use_pallas=use_pallas,
+            out_dtype=net_in.dtype,
+        )
+        color_input = jnp.concatenate(
+            [a_l, warped_lab[..., 1:3], similarity, net_last], axis=-1
+        )
+        pred_ab = colorvidnet_apply(params["colorvid"], color_input)
     pred_ab = pred_ab.astype(jnp.float32)
     new_last = jnp.concatenate([lab_small[..., 0:1], pred_ab], axis=-1)
 
@@ -162,6 +187,41 @@ def _frame_body(
     rgb_out = cs.lab_centered_to_rgb(out_lab)[0]
     rgb_u8_out = jnp.floor(jnp.clip(rgb_out, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return rgb_u8_out, new_last
+
+
+def _embed_body(params, rgb_u8, compute_dtype=None, resize_plan=None):
+    """Scan-1 body of the split-embed program: preprocess + VGG + query
+    embedding. Returns theta [1, N, C] (see `_device_chunk_scan`).
+
+    Recomputes the (cheap, conv-free) preprocess rather than stacking
+    lab_large/lab_small across the scan boundary: 0.2 ms/frame of
+    redundant elementwise work vs ~16 MB/frame of HBM stacking at
+    864x1536.
+    """
+    from devc_tpu.models.vgg19 import vgg19_extract
+    from devc_tpu.models.warpnet import embed_queries
+    from devc_tpu.pipeline.frame import FEATURE_TAPS
+
+    if resize_plan is not None:
+        rgb_u8 = device_centerpad(rgb_u8, *resize_plan)
+    _, lab_small = _preprocess_device(rgb_u8)
+    a_l = lab_small[..., 0:1]
+    if compute_dtype is not None:
+        a_l = a_l.astype(jnp.dtype(compute_dtype))
+    a_rgb = cs.gray_to_rgb(a_l)
+    feats_a = vgg19_extract(params["vgg"], a_rgb, FEATURE_TAPS)
+    a_n = tuple(cs.feature_normalize(f) for f in feats_a[1:])
+    hw = (a_l.shape[1], a_l.shape[2])
+    return embed_queries(params["warpnet"], a_n, hw)
+
+
+def _resolve_split_embed(split_embed):
+    """None -> auto: split on TPU (where the Mosaic corr kernel blocks
+    space-to-batch of the conv chain it consumes — BASELINE.md round-5),
+    fused elsewhere (CPU tests keep the single-loop program)."""
+    if split_embed is None:
+        return jax.default_backend() == "tpu"
+    return split_embed
 
 
 @functools.partial(
@@ -192,7 +252,7 @@ def _device_frame_step(
 @functools.partial(
     jax.jit,
     static_argnames=("temperature", "wls", "lambda_value", "sigma_color",
-                     "use_pallas", "compute_dtype"),
+                     "use_pallas", "compute_dtype", "split_embed"),
 )
 def _device_chunk_scan(
     params,
@@ -206,13 +266,43 @@ def _device_chunk_scan(
     use_pallas: bool | None = None,
     compute_dtype=None,
     resize_plan=None,
+    split_embed: bool | None = None,
 ):
     """K frames as one lax.scan program (zero per-frame dispatch).
 
     The recurrent carry crosses chunk boundaries, so a long clip is a loop
     of identical chunk programs (one compile per (K, H, W)).
+
+    split_embed (default: auto — on for TPU) runs TWO scans instead of
+    one: scan 1 computes every frame's VGG + query embedding (stacking
+    theta in HBM), scan 2 runs correspondence + ColorVidNet + FGS + post
+    with the recurrent carry. Semantically identical; the point is that
+    the Mosaic correspondence kernel and the conv chain that feeds it
+    live in separate loops, so XLA's space-to-batch rewrite of the
+    batch-1 convs is not blocked by the custom call (a measured
+    14.39 -> 7.77 ms/frame on the embed+corr sub-program at net 768x432,
+    probes/corr_hlo_dump.py, 2026-08-19). Costs k*N*C*4 bytes of theta
+    stacking (21 MB/frame at net 768x432).
     Returns (rgb_out_u8 [K, H, W, 3], new_last_lab).
     """
+    if _resolve_split_embed(split_embed):
+        def ebody(_, rgb_u8):
+            theta = _embed_body(params, rgb_u8, compute_dtype, resize_plan)
+            return None, theta[0]
+
+        _, thetas = jax.lax.scan(ebody, None, frames_u8)
+
+        def step2(last, xs):
+            rgb_u8, theta = xs
+            out, new_last = _frame_body(
+                params, rgb_u8, last, ref_state, temperature,
+                wls, lambda_value, sigma_color, use_pallas, compute_dtype,
+                resize_plan, theta=theta[None],
+            )
+            return new_last, out
+
+        new_last, outs = jax.lax.scan(step2, last_lab, (frames_u8, thetas))
+        return outs, new_last
 
     def step(last, rgb_u8):
         out, new_last = _frame_body(
@@ -237,6 +327,7 @@ def _frame_body_multi(
     sigma_color: float,
     use_pallas: bool | None,
     resize_plan=None,
+    theta=None,
 ):
     """One frame against R exemplars at once (shared by the jitted
     per-frame step and the whole-clip scan).
@@ -245,12 +336,13 @@ def _frame_body_multi(
     whole pipeline per exemplar (test.py:168-178). Here the frame's VGG
     features and query embedding are computed ONCE and broadcast; only the
     correspondence + generator are R-batched.
+
+    theta: optional precomputed query embedding [1, N, C] from
+    `_embed_body` (split-embed scan — see `_device_chunk_scan`).
     Returns (rgb_out_u8 [R, H, W, 3], new_last [R, h, w, 3]).
     """
     from devc_tpu.models.colorvidnet import colorvidnet_apply
-    from devc_tpu.models.vgg19 import vgg19_extract
-    from devc_tpu.models.warpnet import embed_queries, warp_with_keys
-    from devc_tpu.pipeline.frame import FEATURE_TAPS
+    from devc_tpu.models.warpnet import warp_with_keys
 
     r = last_lab.shape[0]
     if resize_plan is not None:
@@ -258,11 +350,18 @@ def _frame_body_multi(
     lab_large, lab_small = _preprocess_device(rgb_u8)
     a_l = lab_small[..., 0:1]
 
-    a_rgb = cs.gray_to_rgb(a_l)
-    feats_a = vgg19_extract(params["vgg"], a_rgb, FEATURE_TAPS)
-    a_n = tuple(cs.feature_normalize(f) for f in feats_a[1:])
-    hw = (a_l.shape[1], a_l.shape[2])
-    theta = embed_queries(params["warpnet"], a_n, hw)  # [1, N, C]
+    if theta is None:
+        from devc_tpu.models.vgg19 import vgg19_extract
+        from devc_tpu.models.warpnet import embed_queries
+        from devc_tpu.pipeline.frame import FEATURE_TAPS
+
+        a_rgb = cs.gray_to_rgb(a_l)
+        feats_a = vgg19_extract(params["vgg"], a_rgb, FEATURE_TAPS)
+        a_n = tuple(cs.feature_normalize(f) for f in feats_a[1:])
+        hw = (a_l.shape[1], a_l.shape[2])
+        theta = embed_queries(params["warpnet"], a_n, hw)  # [1, N, C]
+    else:
+        hw = (a_l.shape[1], a_l.shape[2])
     theta_r = jnp.broadcast_to(theta, (r,) + theta.shape[1:])
 
     warped_lab, similarity = warp_with_keys(
@@ -325,7 +424,8 @@ def _device_frame_step_multi(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("temperature", "wls", "lambda_value", "sigma_color", "use_pallas"),
+    static_argnames=("temperature", "wls", "lambda_value", "sigma_color",
+                     "use_pallas", "split_embed"),
 )
 def _device_chunk_scan_multi(
     params,
@@ -338,6 +438,7 @@ def _device_chunk_scan_multi(
     sigma_color: float = 4.0,
     use_pallas: bool | None = None,
     resize_plan=None,
+    split_embed: bool | None = None,
 ):
     """K frames x R exemplars as one lax.scan program.
 
@@ -345,8 +446,28 @@ def _device_chunk_scan_multi(
     per-dispatch latency over K frames; this is the same chunking applied
     to the R-batched multi-exemplar body, so multi-ref throughput stops
     being dispatch-bound too (VERDICT r2 missing #4).
+    split_embed: see `_device_chunk_scan` — scan 1 embeds each frame ONCE
+    (shared across refs), scan 2 runs the R-batched rest.
     Returns (rgb_out_u8 [K, R, H, W, 3], new_last [R, h, w, 3]).
     """
+    if _resolve_split_embed(split_embed):
+        def ebody(_, rgb_u8):
+            theta = _embed_body(params, rgb_u8, None, resize_plan)
+            return None, theta[0]
+
+        _, thetas = jax.lax.scan(ebody, None, frames_u8)
+
+        def step2(last, xs):
+            rgb_u8, theta = xs
+            out, new_last = _frame_body_multi(
+                params, rgb_u8, last, ref_state, temperature,
+                wls, lambda_value, sigma_color, use_pallas, resize_plan,
+                theta=theta[None],
+            )
+            return new_last, out
+
+        new_last, outs = jax.lax.scan(step2, last_lab, (frames_u8, thetas))
+        return outs, new_last
 
     def step(last, rgb_u8):
         out, new_last = _frame_body_multi(
@@ -399,6 +520,7 @@ def colorize_video_multi(
     device_resize: bool = False,
     mode: str = "stream",
     chunk: int = 64,
+    split_embed: bool | None = None,
 ):
     """Colorize one clip against R exemplars in a single pass.
 
@@ -498,6 +620,7 @@ def colorize_video_multi(
                         sigma_color=sigma_color,
                         use_pallas=use_pallas,
                         resize_plan=resize_plan,
+                        split_embed=split_embed,
                     )
                     outs = np.asarray(outs)  # [K, R, H, W, 3]
                     for i in range(valid):
@@ -668,6 +791,7 @@ def colorize_video(
     out_ext: str = "jpg",
     compute_dtype=None,
     device_resize: bool = False,
+    split_embed: bool | None = None,
 ):
     """Colorize every frame of clip_dir with the exemplar at ref_path.
 
@@ -768,6 +892,7 @@ def colorize_video(
                         use_pallas=use_pallas,
                         compute_dtype=compute_dtype,
                         resize_plan=resize_plan,
+                        split_embed=split_embed,
                     )
                     outs = np.asarray(outs)
                     for i in range(valid):

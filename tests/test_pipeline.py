@@ -300,6 +300,71 @@ def test_scan_mode_matches_stream(params, tmp_path, rng):
         assert np.abs(a - b).max() <= 30
 
 
+def test_split_embed_scan_matches_fused(params, rng):
+    """split_embed=True (two-loop program: embed scan -> corr/generator
+    scan) == split_embed=False on the same inputs. Semantically identical
+    op sequences compiled as different programs — compared at T=0.01 (soft
+    warp) with the documented cross-program tolerance (conftest notes:
+    fp-reorder deltas amplified by the untrained recurrence)."""
+    from devc_tpu.pipeline.video import (
+        _device_chunk_scan,
+        _device_ref_features,
+    )
+
+    h, w = 64, 128
+    frames = jnp.asarray(
+        (rng.rand(4, h, w, 3) * 255).astype(np.uint8)
+    )
+    ref = jnp.asarray((rng.rand(h, w, 3) * 255).astype(np.uint8))
+    _, ref_state = _device_ref_features(params, ref)
+    last0 = jnp.zeros((1, h // 2, w // 2, 3), jnp.float32)
+
+    out_f, carry_f = _device_chunk_scan(
+        params, frames, last0, ref_state, temperature=0.01, wls=True,
+        use_pallas=False, split_embed=False,
+    )
+    out_s, carry_s = _device_chunk_scan(
+        params, frames, last0, ref_state, temperature=0.01, wls=True,
+        use_pallas=False, split_embed=True,
+    )
+    a = np.asarray(out_f).astype(int)
+    b = np.asarray(out_s).astype(int)
+    assert np.abs(a - b).mean() < 1.0
+    assert np.abs(a - b).max() <= 30
+    np.testing.assert_allclose(
+        np.asarray(carry_f), np.asarray(carry_s), atol=0.5
+    )
+
+
+def test_split_embed_scan_multi_matches_fused(params, rng):
+    """The multi-exemplar split-embed scan == the fused multi scan."""
+    from devc_tpu.pipeline.video import (
+        _device_chunk_scan_multi,
+        _device_ref_features_multi,
+    )
+
+    h, w = 64, 128
+    frames = jnp.asarray(
+        (rng.rand(4, h, w, 3) * 255).astype(np.uint8)
+    )
+    refs = jnp.asarray((rng.rand(2, h, w, 3) * 255).astype(np.uint8))
+    _, ref_state = _device_ref_features_multi(params, refs)
+    last0 = jnp.zeros((2, h // 2, w // 2, 3), jnp.float32)
+
+    out_f, _ = _device_chunk_scan_multi(
+        params, frames, last0, ref_state, temperature=0.01, wls=True,
+        use_pallas=False, split_embed=False,
+    )
+    out_s, _ = _device_chunk_scan_multi(
+        params, frames, last0, ref_state, temperature=0.01, wls=True,
+        use_pallas=False, split_embed=True,
+    )
+    a = np.asarray(out_f).astype(int)
+    b = np.asarray(out_s).astype(int)
+    assert np.abs(a - b).mean() < 1.0
+    assert np.abs(a - b).max() <= 30
+
+
 def test_multi_scan_mode_matches_stream(params, tmp_path, rng):
     """colorize_video_multi mode=scan (chunked lax.scan over the R-batched
     frame body) == mode=stream (VERDICT r2 missing #4)."""
