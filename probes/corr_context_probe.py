@@ -173,6 +173,47 @@ def main(argv=None):
         print(f"{dt_name} scan-only: {rec['scan_ms']} ms "
               f"({rec.get('scan_gflop', '?')} GFLOP/frame)", flush=True)
 
+        # ---- 2b. scan-only with score_bf16 (the correlation matmul at the
+        # MXU's bf16 rate, fp32 accumulate; ops/pallas_corr.py:49-68) ----
+        if on_tpu:
+            from devc_tpu.models.warpnet import upsample_nearest
+            from devc_tpu.ops.pallas_corr import correspondence_warp_pallas
+
+            fh, fw = h2 // 4, w2 // 4
+
+            @jax.jit
+            def scan_corr_sb(ts, e):
+                def body(_, t):
+                    warped, sim = correspondence_warp_pallas(
+                        t + e, phi, values, temperature=1e-10,
+                        score_bf16=True,
+                    )
+                    warped = upsample_nearest(
+                        warped.reshape(1, fh, fw, 3), 4).astype(net_dt)
+                    sim = upsample_nearest(
+                        sim.reshape(1, fh, fw, 1), 4).astype(net_dt)
+                    return None, (jnp.sum(warped.astype(jnp.float32)),
+                                  jnp.sum(sim.astype(jnp.float32)))
+                _, ys = jax.lax.scan(body, None, ts)
+                return ys
+
+            bctr = [0]
+
+            def run_scan_sb(n):
+                outs = []
+                for i in range(n):
+                    bctr[0] += 1
+                    outs.append(scan_corr_sb(thetas[i % len(thetas)],
+                                             net_dt(bctr[0] * 1e-6)))
+                return outs
+
+            forcer.force(scan_corr_sb(thetas[0], net_dt(0.5)))
+            rec["scan_score_bf16_ms"] = round(
+                delta_time(run_scan_sb, 1, args.n_chunks, forcer) / k * 1e3,
+                3)
+            print(f"{dt_name} scan-only score_bf16: "
+                  f"{rec['scan_score_bf16_ms']} ms", flush=True)
+
         # ---- 3. scan with embed -> corr body (VGG from uint8 gray);
         # barrier=True inserts jax.lax.optimization_barrier on theta at
         # the embed->kernel boundary (kills producer-fusion interactions
