@@ -46,17 +46,25 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _scores(theta_ref, phi_ref, k_tile_idx, tk, nk_valid, score_bf16=False):
+def _scores(theta_ref, phi_ref, k_tile_idx, tk, nk_valid, score_bf16=False,
+            score_f32=False):
     """Correlation tile [TQ, TK] with padded key columns masked to -inf.
 
     score_bf16 casts the embeddings to bfloat16 for the matmul (MXU-native
     rate; fp32 accumulation) at ~1e-3 cosine-score noise — opt-in, since at
     inference temperature the argmax may flip between near-tied matches.
+    score_f32 casts bf16 embeddings UP to f32 before the matmul — an
+    experiment flag for the round-5 corr-dtype A/B (probes/ab_corr_dtype.py)
+    which REFUTED the "Mosaic bf16 matmul is slow" hypothesis: the isolated
+    kernel costs the same either way (BASELINE.md round-5).
     """
     th, ph = theta_ref[0], phi_ref[0]
     if score_bf16:
         th = th.astype(jnp.bfloat16)
         ph = ph.astype(jnp.bfloat16)
+    elif score_f32:
+        th = th.astype(jnp.float32)
+        ph = ph.astype(jnp.float32)
     s = jax.lax.dot_general(
         th,
         ph,
@@ -85,6 +93,7 @@ def _corr_fwd_kernel(
     tk: int,
     emit_l: bool,
     score_bf16: bool = False,
+    score_f32: bool = False,
 ):
     k = pl.program_id(2)
     nk_tiles = pl.num_programs(2)
@@ -95,7 +104,7 @@ def _corr_fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    s, _ = _scores(theta_ref, phi_ref, k, tk, nk_valid, score_bf16)
+    s, _ = _scores(theta_ref, phi_ref, k, tk, nk_valid, score_bf16, score_f32)
 
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -121,10 +130,10 @@ def _corr_fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("temperature", "tq", "tk", "interpret", "emit_l",
-                     "score_bf16"),
+                     "score_bf16", "score_f32"),
 )
 def _corr_pallas_fwd(theta, phi, values, temperature, tq, tk, interpret,
-                     emit_l=True, score_bf16=False):
+                     emit_l=True, score_bf16=False, score_f32=False):
     b, nq, c = theta.shape
     _, nk, v = values.shape
     tq = min(tq, _round_up(nq, 128))
@@ -145,6 +154,7 @@ def _corr_pallas_fwd(theta, phi, values, temperature, tq, tk, interpret,
         tk=tk,
         emit_l=emit_l,
         score_bf16=score_bf16,
+        score_f32=score_f32,
     )
     out, sim, l = pl.pallas_call(
         kernel,
@@ -410,14 +420,19 @@ def correspondence_warp_pallas(
     interpret: bool = False,
     differentiable: bool = False,
     score_bf16: bool = False,
+    score_f32: bool | None = None,
 ):
     """Fused correspondence warp. Same contract as correspondence_warp_einsum.
 
     With differentiable=True a custom flash-style VJP is attached (see module
     docstring). score_bf16 runs the correlation matmul at the MXU's bf16
-    rate (forward-only; ~1e-3 score noise). WTA scaling (train-only, off by
-    default in the reference train loop) is not fused; callers needing it
-    use the einsum path.
+    rate (forward-only; ~1e-3 score noise). score_f32 (default off) casts
+    bf16 embeddings up to f32 inside the kernel before the score matmul,
+    making bf16-input scores exact f32 products of the rounded embeddings —
+    kept as an experiment flag after the round-5 corr-dtype A/B refuted any
+    kernel-internal bf16 penalty (probes/ab_corr_dtype.py, BASELINE.md).
+    WTA scaling (train-only, off by default in the reference train loop) is
+    not fused; callers needing it use the einsum path.
 
     tk=None auto-selects the key tile: 512 keeps pad waste low at the
     reference half-res N=5184, while at full-res N>=16384 a 2048 tile
@@ -433,6 +448,13 @@ def correspondence_warp_pallas(
         )
     if tk is None:
         tk = 2048 if phi.shape[1] >= 16384 else DEFAULT_TK
+    if score_f32 is None:
+        # REFUTED default-on: the isolated kernel is NOT slower on bf16
+        # inputs (2.48 bf16 vs 2.58 f32 ms at N=20736 — the fused-profile
+        # "+1.4 ms bf16 corr penalty" was a program-context effect, not a
+        # Mosaic bf16-matmul cost; probes/ab_corr_dtype.py, BASELINE.md
+        # round-5). Kept as an experiment flag only.
+        score_f32 = False
     args = (theta, phi, values, float(temperature), int(tq), int(tk),
             bool(interpret))
     if differentiable:
@@ -440,6 +462,7 @@ def correspondence_warp_pallas(
             raise NotImplementedError("score_bf16 is forward-only")
         return _corr_pallas_diff(*args)
     out, sim, _ = _corr_pallas_fwd(*args, emit_l=False,
-                                   score_bf16=bool(score_bf16))
+                                   score_bf16=bool(score_bf16),
+                                   score_f32=bool(score_f32))
     nq = theta.shape[1]
     return out[:, :nq], sim[:, :nq]

@@ -316,6 +316,15 @@ def _device_chunk_scan(
     return outs, new_last
 
 
+def _resolve_unroll_refs(unroll_refs):
+    """None -> auto: unroll the R-batched generator on TPU (where XLA's
+    space-to-batch conv rewrite only fires for batch-1 convs — measured
+    probes/ab_cvn_batch.py, BASELINE.md round-5), batched elsewhere."""
+    if unroll_refs is None:
+        return jax.default_backend() == "tpu"
+    return unroll_refs
+
+
 def _frame_body_multi(
     params,
     rgb_u8,
@@ -328,6 +337,7 @@ def _frame_body_multi(
     use_pallas: bool | None,
     resize_plan=None,
     theta=None,
+    unroll_refs: bool | None = None,
 ):
     """One frame against R exemplars at once (shared by the jitted
     per-frame step and the whole-clip scan).
@@ -373,7 +383,18 @@ def _frame_body_multi(
     color_input = jnp.concatenate(
         [a_l_r, warped_lab[..., 1:3], similarity, last_lab], axis=-1
     )
-    pred_ab = colorvidnet_apply(params["colorvid"], color_input)  # [R,h,w,2]
+    if r > 1 and _resolve_unroll_refs(unroll_refs):
+        # Unroll the R dimension into R batch-1 generator applies: XLA's
+        # space-to-batch conv rewrite only fires for batch-1 convs, and a
+        # batch-R conv keeps batch in sublanes (3/8 VREG occupancy at R=3).
+        # Measured on v5e at net 216x384: batched R=3 9.98 ms/frame vs
+        # unrolled 6.55 ms (= 3.2x the 2.04 ms batch-1 cost) —
+        # probes/ab_cvn_batch.py, BASELINE.md round-5.
+        pred_ab = jnp.concatenate(
+            [colorvidnet_apply(params["colorvid"], color_input[i][None])
+             for i in range(r)], axis=0)  # [R,h,w,2]
+    else:
+        pred_ab = colorvidnet_apply(params["colorvid"], color_input)
     new_last = jnp.concatenate([a_l_r, pred_ab], axis=-1)
 
     h, w = rgb_u8.shape[0], rgb_u8.shape[1]
@@ -401,7 +422,8 @@ def _frame_body_multi(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("temperature", "wls", "lambda_value", "sigma_color", "use_pallas"),
+    static_argnames=("temperature", "wls", "lambda_value", "sigma_color",
+                     "use_pallas", "unroll_refs"),
 )
 def _device_frame_step_multi(
     params,
@@ -415,17 +437,19 @@ def _device_frame_step_multi(
     sigma_color: float = 4.0,
     use_pallas: bool | None = None,
     resize_plan=None,
+    unroll_refs: bool | None = None,
 ):
     """One frame, R exemplars, fully on device (see _frame_body_multi)."""
     return _frame_body_multi(params, rgb_u8, last_lab, ref_state,
                              temperature, wls, lambda_value, sigma_color,
-                             use_pallas, resize_plan)
+                             use_pallas, resize_plan,
+                             unroll_refs=unroll_refs)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("temperature", "wls", "lambda_value", "sigma_color",
-                     "use_pallas", "split_embed"),
+                     "use_pallas", "split_embed", "unroll_refs"),
 )
 def _device_chunk_scan_multi(
     params,
@@ -439,6 +463,7 @@ def _device_chunk_scan_multi(
     use_pallas: bool | None = None,
     resize_plan=None,
     split_embed: bool | None = None,
+    unroll_refs: bool | None = None,
 ):
     """K frames x R exemplars as one lax.scan program.
 
@@ -462,7 +487,7 @@ def _device_chunk_scan_multi(
             out, new_last = _frame_body_multi(
                 params, rgb_u8, last, ref_state, temperature,
                 wls, lambda_value, sigma_color, use_pallas, resize_plan,
-                theta=theta[None],
+                theta=theta[None], unroll_refs=unroll_refs,
             )
             return new_last, out
 
@@ -473,6 +498,7 @@ def _device_chunk_scan_multi(
         out, new_last = _frame_body_multi(
             params, rgb_u8, last, ref_state, temperature,
             wls, lambda_value, sigma_color, use_pallas, resize_plan,
+            unroll_refs=unroll_refs,
         )
         return new_last, out
 

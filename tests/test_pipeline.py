@@ -365,6 +365,40 @@ def test_split_embed_scan_multi_matches_fused(params, rng):
     assert np.abs(a - b).max() <= 30
 
 
+def test_unrolled_refs_matches_batched(params, rng):
+    """The TPU default unrolls the R-batched generator into R batch-1
+    applies (space-to-batch conv rewrite — probes/ab_cvn_batch.py,
+    BASELINE.md round-5); semantics must match the batched path."""
+    from devc_tpu.pipeline.video import (
+        _device_chunk_scan_multi,
+        _device_ref_features_multi,
+    )
+
+    h, w = 64, 128
+    frames = jnp.asarray(
+        (rng.rand(3, h, w, 3) * 255).astype(np.uint8)
+    )
+    refs = jnp.asarray((rng.rand(2, h, w, 3) * 255).astype(np.uint8))
+    _, ref_state = _device_ref_features_multi(params, refs)
+    last0 = jnp.zeros((2, h // 2, w // 2, 3), jnp.float32)
+
+    out_b, carry_b = _device_chunk_scan_multi(
+        params, frames, last0, ref_state, temperature=0.01, wls=True,
+        use_pallas=False, split_embed=True, unroll_refs=False,
+    )
+    out_u, carry_u = _device_chunk_scan_multi(
+        params, frames, last0, ref_state, temperature=0.01, wls=True,
+        use_pallas=False, split_embed=True, unroll_refs=True,
+    )
+    a = np.asarray(out_b).astype(int)
+    b = np.asarray(out_u).astype(int)
+    assert np.abs(a - b).mean() < 1.0
+    assert np.abs(a - b).max() <= 30
+    np.testing.assert_allclose(
+        np.asarray(carry_b), np.asarray(carry_u), atol=0.5
+    )
+
+
 def test_multi_scan_mode_matches_stream(params, tmp_path, rng):
     """colorize_video_multi mode=scan (chunked lax.scan over the R-batched
     frame body) == mode=stream (VERDICT r2 missing #4)."""
