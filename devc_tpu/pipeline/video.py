@@ -317,9 +317,10 @@ def _device_chunk_scan(
 
 
 def _resolve_unroll_refs(unroll_refs):
-    """None -> auto: unroll the R-batched generator on TPU (where XLA's
-    space-to-batch conv rewrite only fires for batch-1 convs — measured
-    probes/ab_cvn_batch.py, BASELINE.md round-5), batched elsewhere."""
+    """None -> auto: run the R-batched generator as R batch-1 applies
+    (lax.map) on TPU, where XLA's space-to-batch conv rewrite only fires
+    for batch-1 convs — measured probes/ab_cvn_batch.py, BASELINE.md
+    round-5; batched elsewhere."""
     if unroll_refs is None:
         return jax.default_backend() == "tpu"
     return unroll_refs
@@ -384,15 +385,18 @@ def _frame_body_multi(
         [a_l_r, warped_lab[..., 1:3], similarity, last_lab], axis=-1
     )
     if r > 1 and _resolve_unroll_refs(unroll_refs):
-        # Unroll the R dimension into R batch-1 generator applies: XLA's
+        # Run the generator per exemplar at batch 1 via lax.map: XLA's
         # space-to-batch conv rewrite only fires for batch-1 convs, and a
         # batch-R conv keeps batch in sublanes (3/8 VREG occupancy at R=3).
         # Measured on v5e at net 216x384: batched R=3 9.98 ms/frame vs
-        # unrolled 6.55 ms (= 3.2x the 2.04 ms batch-1 cost) —
-        # probes/ab_cvn_batch.py, BASELINE.md round-5.
-        pred_ab = jnp.concatenate(
-            [colorvidnet_apply(params["colorvid"], color_input[i][None])
-             for i in range(r)], axis=0)  # [R,h,w,2]
+        # 6.23 mapped (6.55 for a Python unroll) — probes/ab_cvn_batch.py,
+        # BASELINE.md round-5. lax.map (not a Python unroll) so the body
+        # traces ONCE: the unrolled HLO tripled the serialized program and
+        # blew the relay's remote-compile size cap (HTTP 413) at the
+        # production chunk-64 scan.
+        pred_ab = jax.lax.map(
+            lambda ci: colorvidnet_apply(params["colorvid"], ci[None])[0],
+            color_input)  # [R,h,w,2]
     else:
         pred_ab = colorvidnet_apply(params["colorvid"], color_input)
     new_last = jnp.concatenate([a_l_r, pred_ab], axis=-1)

@@ -76,14 +76,22 @@ def main(argv=None):
         ]
         jax.block_until_ready(chunks)
 
-        def make_prog(unroll):
+        def make_prog(mode):
             def body(carry, x):
                 # data-dependent input so iterations cannot be elided
                 xin = x.at[..., 1:3].add(carry * 1e-3)
-                if unroll:
+                if mode == "unrolled":
                     ys = jnp.concatenate(
                         [cvn.colorvidnet_apply(params, xin[i][None])
                          for i in range(r)], axis=0)
+                elif mode == "mapped":
+                    # lax.map: batch-1 convs (space-to-batch eligible) but
+                    # the body is traced ONCE — the unrolled variant's 3x
+                    # HLO blew past the relay's remote-compile request
+                    # limit (HTTP 413) at production chunk sizes
+                    ys = jax.lax.map(
+                        lambda xi: cvn.colorvidnet_apply(params, xi[None])[0],
+                        xin)
                 else:
                     ys = cvn.colorvidnet_apply(params, xin)  # [r,h,w,2]
                 return ys, jnp.sum(ys)
@@ -97,10 +105,10 @@ def main(argv=None):
 
         c0 = jnp.zeros((r, h, w, 2), jnp.float32)
         rec = {}
-        for tag, unroll in (("batched", False), ("unrolled", True)):
-            if r == 1 and unroll:
+        for tag in ("batched", "unrolled", "mapped"):
+            if r == 1 and tag != "batched":
                 continue  # identical program
-            prog = make_prog(unroll)
+            prog = make_prog(tag)
             out = prog(chunks[0], c0)
             forcer.force(out)
             ctr = [0]
