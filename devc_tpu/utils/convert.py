@@ -146,6 +146,139 @@ def discriminator_from_torch(sd):
     return params, sn_state
 
 
+# ---------------------------------------------------------------------------
+# Inverse direction: devc_tpu param pytrees -> reference torch state_dicts.
+#
+# Completes the train->deploy interop loop: a checkpoint trained with
+# cli.train can be exported in the exact .pth layout the reference's
+# test.py:150-159 / train.py:174-226 load, so reference users can consume
+# models trained here (and vice versa). Every *_to_torch is the mechanical
+# inverse of its *_from_torch above; tests/test_convert_roundtrip.py
+# round-trips them and strict-loads the exports into the reference modules.
+# ---------------------------------------------------------------------------
+
+
+def conv_to_torch(p, prefix: str, out: dict):
+    import torch
+
+    w = np.ascontiguousarray(
+        np.asarray(p["w"], dtype=np.float32).transpose(3, 2, 0, 1)
+    )  # HWIO -> OIHW
+    out[prefix + ".weight"] = torch.from_numpy(w)
+    if "b" in p:
+        out[prefix + ".bias"] = torch.from_numpy(
+            np.asarray(p["b"], dtype=np.float32).reshape(-1).copy()
+        )
+
+
+def prelu_to_torch(p, prefix: str, out: dict):
+    import torch
+
+    out[prefix + ".weight"] = torch.from_numpy(
+        np.asarray(p["a"], dtype=np.float32).reshape(-1).copy()
+    )
+
+
+def vgg19_to_torch(params) -> dict:
+    out = {}
+    for name, p in params.items():
+        conv_to_torch(p, name, out)
+    return out
+
+
+def warpnet_to_torch(params) -> dict:
+    """Inverse of warpnet_from_torch (key layout: NonlocalNet.py:364-410)."""
+    out = {}
+
+    def pyramid(prefix, p, conv2_idx, prelu2_idx):
+        conv_to_torch(p["conv1"], f"{prefix}.1", out)
+        prelu_to_torch(p["prelu1"], f"{prefix}.3", out)
+        conv_to_torch(p["conv2"], f"{prefix}.{conv2_idx}", out)
+        prelu_to_torch(p["prelu2"], f"{prefix}.{prelu2_idx}", out)
+
+    pyramid("layer2_1", params["layer2_1"], 5, 7)
+    pyramid("layer3_1", params["layer3_1"], 5, 7)
+    pyramid("layer4_1", params["layer4_1"], 5, 7)
+    pyramid("layer5_1", params["layer5_1"], 6, 8)
+    for i, r in enumerate(params["res"]):
+        conv_to_torch(r["conv1"], f"layer.{i}.conv1", out)
+        conv_to_torch(r["conv2"], f"layer.{i}.conv2", out)
+        prelu_to_torch(r["prelu"], f"layer.{i}.prelu", out)
+    conv_to_torch(params["theta"], "theta", out)
+    conv_to_torch(params["phi"], "phi", out)
+    return out
+
+
+def colorvidnet_to_torch(params) -> dict:
+    """Inverse of colorvidnet_from_torch (key layout: ColorVidNet.py:9-83)."""
+    out = {}
+    for name, p in params.items():
+        if name == "conv1_1a":
+            conv_to_torch(p, "conv1_1.0", out)
+        elif name == "conv1_1b":
+            conv_to_torch(p, "conv1_1.2", out)
+        elif name in ("conv8_1", "conv9_1", "conv10_1"):
+            conv_to_torch(p, f"{name}.1", out)
+        else:
+            conv_to_torch(p, name, out)
+    return out
+
+
+def discriminator_to_torch(params, sn_state) -> dict:
+    """Inverse of discriminator_from_torch: weight_bar/u/v per wrapped conv
+    (spectral_normalization.py:41-57) + attention gamma."""
+    import torch
+
+    mapping = {
+        "layer1": "layer1.0", "layer2": "layer2.0",
+        "attn_q": "attention.query_conv", "attn_k": "attention.key_conv",
+        "attn_v": "attention.value_conv",
+        "layer3": "layer3.0", "layer4": "layer4.0",
+        "layer5": "layer5.0", "layer6": "layer6.0",
+        "last": "last",
+    }
+    out = {
+        "attention.gamma": torch.from_numpy(
+            np.asarray(params["gamma"], dtype=np.float32).reshape(-1).copy()
+        )
+    }
+    for ours, theirs in mapping.items():
+        p, uv = params[ours], sn_state[ours]
+        w = np.ascontiguousarray(
+            np.asarray(p["w"], dtype=np.float32).transpose(3, 2, 0, 1)
+        )
+        out[theirs + ".module.weight_bar"] = torch.from_numpy(w)
+        if "b" in p:
+            out[theirs + ".module.bias"] = torch.from_numpy(
+                np.asarray(p["b"], dtype=np.float32).reshape(-1).copy()
+            )
+        out[theirs + ".module.weight_u"] = torch.from_numpy(
+            np.asarray(uv["u"], dtype=np.float32).reshape(-1).copy()
+        )
+        out[theirs + ".module.weight_v"] = torch.from_numpy(
+            np.asarray(uv["v"], dtype=np.float32).reshape(-1).copy()
+        )
+    return out
+
+
+def save_reference_checkpoints(params_g, out_dir: str, iteration: int = 0):
+    """Write a generator pytree ({"warpnet", "colorvid"}) as the two .pth
+    files the reference's test.py:150-159 loads
+    (nonlocal_net_iter_N.pth / colornet_iter_N.pth). Returns the paths."""
+    import os
+
+    import torch
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = (
+        os.path.join(out_dir, f"nonlocal_net_iter_{iteration}.pth"),
+        os.path.join(out_dir, f"colornet_iter_{iteration}.pth"),
+    )
+    torch.save(warpnet_to_torch(params_g["warpnet"]), paths[0])
+    torch.save(colorvidnet_to_torch(params_g["colorvid"]), paths[1])
+    return paths
+
+
 def load_torch_state_dict(path: str):
     import torch
 
