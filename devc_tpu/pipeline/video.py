@@ -108,10 +108,13 @@ def _frame_body(
     ColorVidNet) at bf16; the caller must also pass bf16 params and a
     bf16-prepared ref_state (build_params --bf16 / _device_ref_features
     with the same compute_dtype). Pre/post-processing, the recurrent carry
-    and the FGS stay fp32. MEASURED NOT FASTER on v5e (153 vs 164 fps,
-    2026-08-16): XLA already feeds fp32 convs through the MXU's bf16
-    passes, and the fp32 full-resolution pre/post stages dominate the HBM
-    bytes — kept as a cheap re-test hook for other chips, off by default.
+    and the FGS stay fp32. Since the split-embed scan landed, bf16 WINS at
+    the full-res config (49.9 vs 45.9 fps; half-res a wash) and is
+    quality-checked on trained weights vs fp32: teacher-forced PSNR mean
+    49.6 dB / free-running 43.8 dB over 16 real full-res frames, the
+    residual being localized T≈0 argmax flips (BASELINE.md round-5,
+    probes/ab_bf16_quality.py). fp32 stays the default for bit-faithful
+    reference parity; pass --bf16 for throughput.
 
     resize_plan=(A_h, A_w) moves the host CenterPad onto the device
     (ops/device_resize.py): rgb_u8 is then the RAW decoded frame and the
