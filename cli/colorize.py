@@ -119,9 +119,12 @@ def main(argv=None):
                    help="checkpoint step to load (default: latest)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
-                   help="run the network stages in bfloat16 (measured NOT "
-                        "faster on v5e — see pipeline/video.py — and "
-                        "quality differs from the fp32 reference semantics)")
+                   help="run the network stages in bfloat16: +9%% "
+                        "throughput at the full-res config (49.9 vs 45.9 "
+                        "fps on v5e; half-res a wash) and quality-checked "
+                        "vs fp32 on trained weights (teacher-forced PSNR "
+                        "49.6 dB — BASELINE.md round-5). fp32 stays the "
+                        "default for bit-faithful reference parity")
     p.add_argument("--no_pallas", action="store_true",
                    help="force the einsum correspondence path")
     p.add_argument("--serial_refs", action="store_true",

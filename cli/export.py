@@ -16,8 +16,8 @@ extractor (--vgg, reference data/vgg19_conv.pth layout) so feature
 parity is reproducible even for runs trained against the random-VGG
 fallback.
 
-torch is used only to serialize (CPU); the TPU backend is never touched
-(orbax restore is host-side numpy).
+torch is used only to serialize (CPU); the CLI pins the CPU backend
+before orbax initializes jax, so the TPU is never touched.
 """
 
 from __future__ import annotations
@@ -47,8 +47,19 @@ def main(argv=None):
 
     import os
 
-    import orbax.checkpoint as ocp
+    # Pin the CPU backend BEFORE anything that initializes jax: on this
+    # image sitecustomize pre-pins axon, and orbax's CheckpointManager
+    # initializes the backend on construction — a later config.update
+    # would silently no-op and every jax op (vgg19_init, np.asarray of
+    # device leaves) would run over the TPU relay (CLAUDE.md gotcha).
+    import jax
 
+    jax.config.update("jax_platforms", "cpu")
+
+    from devc_tpu.train.checkpoint import (
+        load_run_metadata,
+        load_train_state_dict,
+    )
     from devc_tpu.utils.convert import (
         discriminator_to_torch,
         save_reference_checkpoints,
@@ -56,12 +67,26 @@ def main(argv=None):
     )
 
     directory = os.path.abspath(args.train_ckpt)
-    mgr = ocp.CheckpointManager(directory)
-    step = args.step if args.step is not None else mgr.latest_step()
-    if step is None:
-        raise SystemExit(f"no checkpoint found under {directory}")
-    restored = mgr.restore(step)
-    mgr.close()
+
+    # Validate everything BEFORE writing any file, so a refusal cannot
+    # leave a partial export behind.
+    vgg_src = None
+    if args.vgg:
+        meta = load_run_metadata(directory) or {}
+        vgg_src = meta.get("vgg_source")
+        if vgg_src and vgg_src.startswith("torch:"):
+            raise SystemExit(
+                f"--vgg: this run trained against external torch VGG "
+                f"weights ({vgg_src}); nothing to export — the original "
+                "file is the artifact to ship")
+
+    restored, step = load_train_state_dict(directory, args.step)
+    if args.discriminator and (
+            restored.get("params_d") is None
+            or restored.get("sn_state") is None):
+        raise SystemExit(
+            "--discriminator: checkpoint has no params_d/sn_state")
+
     iteration = args.iteration if args.iteration is not None else step
 
     paths = list(save_reference_checkpoints(
@@ -70,29 +95,14 @@ def main(argv=None):
     if args.discriminator:
         import torch
 
-        pd = restored.get("params_d")
-        snd = restored.get("sn_state")
-        if pd is None or snd is None:
-            raise SystemExit(
-                "--discriminator: checkpoint has no params_d/sn_state")
         p = os.path.join(args.out, f"discriminator_iter_{iteration}.pth")
-        torch.save(discriminator_to_torch(pd, snd), p)
+        torch.save(discriminator_to_torch(
+            restored["params_d"], restored["sn_state"]), p)
         paths.append(p)
 
     if args.vgg:
-        import jax
         import torch
 
-        from devc_tpu.train.checkpoint import load_run_metadata
-
-        meta = load_run_metadata(directory) or {}
-        src = meta.get("vgg_source")
-        if src and src.startswith("torch:"):
-            raise SystemExit(
-                f"this run trained against external torch VGG weights "
-                f"({src}); export nothing — the original file is the "
-                "artifact to ship")
-        jax.config.update("jax_platforms", "cpu")
         from devc_tpu.models import vgg19_init
 
         vgg = vgg19_init(jax.random.PRNGKey(1))  # cli.train's fallback

@@ -82,12 +82,10 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def load_train_params_g(directory: str, step: int | None = None) -> Any:
-    """Generator params ({"warpnet", "colorvid"}) from a cli.train
-    checkpoint directory — the deployment artifact (reference per-net
-    state_dict snapshots, train.py:174-195). No template or optimizer
-    state needed; use for inference from a trained checkpoint
-    (cli.colorize --train_ckpt)."""
+def load_train_state_dict(directory: str, step: int | None = None):
+    """Raw restored state dict + resolved step from a cli.train checkpoint
+    directory, without a template (host numpy leaves). Shared by the
+    deployment loaders below and cli.export."""
     directory = os.path.abspath(directory)
     mgr = ocp.CheckpointManager(directory)
     if step is None:
@@ -96,6 +94,16 @@ def load_train_params_g(directory: str, step: int | None = None) -> Any:
         raise FileNotFoundError(f"no checkpoint found under {directory}")
     restored = mgr.restore(step)
     mgr.close()
+    return restored, step
+
+
+def load_train_params_g(directory: str, step: int | None = None) -> Any:
+    """Generator params ({"warpnet", "colorvid"}) from a cli.train
+    checkpoint directory — the deployment artifact (reference per-net
+    state_dict snapshots, train.py:174-195). No template or optimizer
+    state needed; use for inference from a trained checkpoint
+    (cli.colorize --train_ckpt)."""
+    restored, _ = load_train_state_dict(directory, step)
     return restored["params_g"]
 
 

@@ -161,9 +161,9 @@ def discriminator_from_torch(sd):
 def conv_to_torch(p, prefix: str, out: dict):
     import torch
 
-    w = np.ascontiguousarray(
-        np.asarray(p["w"], dtype=np.float32).transpose(3, 2, 0, 1)
-    )  # HWIO -> OIHW
+    # .copy(): contiguous AND writable (orbax-restored arrays are
+    # read-only; torch.from_numpy warns on non-writable inputs)
+    w = np.asarray(p["w"], dtype=np.float32).transpose(3, 2, 0, 1).copy()
     out[prefix + ".weight"] = torch.from_numpy(w)
     if "b" in p:
         out[prefix + ".bias"] = torch.from_numpy(
@@ -244,9 +244,7 @@ def discriminator_to_torch(params, sn_state) -> dict:
     }
     for ours, theirs in mapping.items():
         p, uv = params[ours], sn_state[ours]
-        w = np.ascontiguousarray(
-            np.asarray(p["w"], dtype=np.float32).transpose(3, 2, 0, 1)
-        )
+        w = np.asarray(p["w"], dtype=np.float32).transpose(3, 2, 0, 1).copy()
         out[theirs + ".module.weight_bar"] = torch.from_numpy(w)
         if "b" in p:
             out[theirs + ".module.bias"] = torch.from_numpy(

@@ -71,8 +71,20 @@ def main(argv=None):
 
     if args.train_ckpt:
         from devc_tpu.models import vgg19_init
-        from devc_tpu.train.checkpoint import load_train_params_g
+        from devc_tpu.train.checkpoint import (
+            load_run_metadata,
+            load_train_params_g,
+        )
 
+        src = (load_run_metadata(args.train_ckpt) or {}).get("vgg_source")
+        if src and src.startswith("torch:"):
+            # same guard as cli.colorize: pairing a torch-VGG-trained
+            # generator with the seed-1 random extractor would measure
+            # quality on mismatched features without any hard failure
+            raise SystemExit(
+                f"{args.train_ckpt} trained against {src}; this probe "
+                "only carries the seed-1 random VGG — run it through "
+                "cli.colorize with --vgg_ckpt instead")
         params = {"vgg": vgg19_init(jax.random.PRNGKey(1)),
                   **load_train_params_g(args.train_ckpt)}
         weights = f"trained:{args.train_ckpt}"

@@ -10,13 +10,18 @@ batch in sublanes, wasting 5/8 of each VREG, so per-sample cost is
 ~8/3x the space-to-batched batch-1 cost.
 
 A/B inside one lax.scan (forced-fetch delta protocol, utils/measure.py):
-  batched:  colorvidnet_apply on [R, h, w, 7]      (production today)
+  batched:  colorvidnet_apply on [R, h, w, 7]
   unrolled: R separate batch-1 colorvidnet_apply calls, stacked
+  mapped:   lax.map of a batch-1 colorvidnet_apply over R
 for R in {1, 3} at the reference half-res net size and full-res.
 
-If unrolled-3 lands near 3x batched-1, the multi-exemplar body should
-unroll its R dimension (reference behavior being replicated:
-test.py:168-181 re-runs the whole pipeline per exemplar).
+MEASURED (v5e, 2026-08-19, BASELINE.md round-5): batched R=3 9.98
+ms/frame, unrolled 6.55, mapped 6.23 — batch-1 convs win (space-to-
+batch fires), and lax.map is the SHIPPED lowering (_frame_body_multi):
+it traces the body once, where the Python unroll's 3x HLO exceeded the
+relay's remote-compile size cap (HTTP 413) at the production chunk-64
+scan. (Reference behavior being replicated: test.py:168-181 re-runs
+the whole pipeline per exemplar.)
 
 Usage: python probes/ab_cvn_batch.py [--net-size 216 384]
 """
