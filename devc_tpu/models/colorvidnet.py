@@ -109,10 +109,42 @@ def _down(params, name, x):
     return x[:, ::2, ::2, :] * w.reshape(1, 1, 1, co).astype(x.dtype)
 
 
-def colorvidnet_apply(params, x):
-    """x: [B, H, W, 7] -> ab: [B, H, W, 2] in [-128, 128]."""
+def _enc1_direct(params, x):
     c1 = jax.nn.relu(_c(params, "conv1_1b", _c(params, "conv1_1a", x)))
-    c1 = jax.nn.relu(_c(params, "conv1_2", c1, relu=False))
+    return jax.nn.relu(_c(params, "conv1_2", c1, relu=False))
+
+
+def _enc1_strips(params, x, n_strips: int):
+    """Stage-1 conv chain via exact height-strip batching (ops/strips.py).
+
+    Batch-1 full-plane convs keep batch in VREG sublanes on TPU (1/8
+    occupancy); running the three stage-1 convs over S row bands at
+    batch S restores the sublane packing XLA's space-to-batch pass
+    would have provided. Numerically exact vs _enc1_direct (interior
+    halos carry real rows; out-of-image rows are re-zeroed per level).
+    """
+    from devc_tpu.ops.strips import extract_strips, merge_strips, strip_mask
+
+    h = x.shape[1]
+    xs = extract_strips(x, n_strips, 3)
+    y = jax.nn.relu(conv2d(params["conv1_1a"], xs, padding=(0, 1)))
+    y = y * strip_mask(h, n_strips, 2, y.dtype)
+    y = jax.nn.relu(conv2d(params["conv1_1b"], y, padding=(0, 1)))
+    y = y * strip_mask(h, n_strips, 1, y.dtype)
+    y = jax.nn.relu(conv2d(params["conv1_2"], y, padding=(0, 1)))
+    return merge_strips(y)
+
+
+def colorvidnet_apply(params, x, enc1_strips: int = 0):
+    """x: [B, H, W, 7] -> ab: [B, H, W, 2] in [-128, 128].
+
+    enc1_strips > 0 runs the stage-1 conv chain height-strip-batched
+    (batch-1 inputs only; exact — see _enc1_strips).
+    """
+    if enc1_strips and x.shape[0] == 1:
+        c1 = _enc1_strips(params, x, enc1_strips)
+    else:
+        c1 = _enc1_direct(params, x)
     n1 = instance_norm(c1)
     x2 = _down(params, "conv1_2norm_ss", n1)
 

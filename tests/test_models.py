@@ -143,6 +143,41 @@ def test_colorvidnet_s2b_matches_direct_dilated(rng):
         )
 
 
+def test_colorvidnet_enc1_strips_matches_direct(rng):
+    """Height-strip-batched stage-1 convs (ops/strips.py) must match the
+    direct batch-1 chain: interior band halos carry the real neighbour
+    rows; out-of-image halo rows are re-zeroed per conv level, which is
+    exactly chained SAME-conv zero padding (reference ColorVidNet.py:
+    10-11,96-99). Covers bands taller and shorter than the halo reach
+    and a non-multiple-of-strips guard."""
+    import devc_tpu.models.colorvidnet as cvn
+
+    params = cvn.colorvidnet_init(jax.random.PRNGKey(5))
+    for h, w, s in [(32, 32, 8), (24, 40, 4), (56, 40, 8), (48, 64, 16)]:
+        x = jnp.asarray(rng.randn(1, h, w, 7).astype(np.float32) * 20)
+        y_strips = jax.jit(
+            lambda p, x: cvn.colorvidnet_apply(p, x, enc1_strips=s)
+        )(params, x)
+        y_direct = jax.jit(cvn.colorvidnet_apply)(params, x)
+        np.testing.assert_allclose(
+            np.asarray(y_strips), np.asarray(y_direct), atol=1e-4, rtol=1e-5
+        )
+    # stage-1 chain alone, tight tolerance (same conv shapes, no norm)
+    x = jnp.asarray(rng.randn(1, 40, 48, 7).astype(np.float32) * 20)
+    c_s = cvn._enc1_strips(params, x, 8)
+    c_d = cvn._enc1_direct(params, x)
+    np.testing.assert_allclose(
+        np.asarray(c_s), np.asarray(c_d), atol=1e-5, rtol=1e-6
+    )
+    # batch > 1 inputs fall back to the direct chain (strips assume B=1)
+    xb = jnp.asarray(rng.randn(2, 32, 32, 7).astype(np.float32))
+    yb = cvn.colorvidnet_apply(params, xb, enc1_strips=8)
+    np.testing.assert_allclose(
+        np.asarray(yb), np.asarray(cvn.colorvidnet_apply(params, xb)),
+        atol=0, rtol=0,
+    )
+
+
 def test_frame_colorization_parity(rng):
     """End-to-end single-frame parity: VGG -> WarpNet -> ColorVidNet."""
     nl = reference_module("models.NonlocalNet")
