@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 import os
 
@@ -109,6 +110,35 @@ def _down(params, name, x):
     return x[:, ::2, ::2, :] * w.reshape(1, 1, 1, co).astype(x.dtype)
 
 
+def _down_into(params, ss_name, conv_name, x):
+    """Fused *_ss downsample + the following 3x3 conv, as ONE conv.
+
+    The reference encoder boundary is `conv(w_ss[c] * n[:, ::2, ::2, :])`
+    (reference ColorVidNet.py:99-101,105-107,111-113 + :96's *_ss convs).
+    Over the decimated grid that 3x3 SAME conv taps decimated rows
+    {i-1, i, i+1} = full-plane rows {2i-2, 2i, 2i+2}, and its zero padding
+    corresponds to full-plane padding 2 (odd offsets are never sampled) —
+    i.e. it IS a stride-2, rhs-dilation-2 3x3 conv on the full plane, with
+    the per-channel *_ss scale folded into the conv weights. Doing it that
+    way skips materializing the decimated plane and the stride-2 slice's
+    sublane repack, which probes/ab_enc1_in.py measured at ~2.4 ms/frame
+    of enc1's 3.8 ms at net 432x768 (the IN arithmetic itself was only
+    ~0.6 ms). Exact up to fp association of the weight scale.
+    """
+    s = params[ss_name]["w"].reshape(-1)  # depthwise 1x1 HWIO -> [C]
+    p = params[conv_name]
+    w = p["w"] * s[None, None, :, None]
+    y = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(2, 2),
+        padding=[(2, 2), (2, 2)],
+        rhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.relu(y + p["b"].astype(y.dtype))
+
+
 def _enc1_direct(params, x):
     c1 = jax.nn.relu(_c(params, "conv1_1b", _c(params, "conv1_1a", x)))
     return jax.nn.relu(_c(params, "conv1_2", c1, relu=False))
@@ -135,31 +165,44 @@ def _enc1_strips(params, x, n_strips: int):
     return merge_strips(y)
 
 
-def colorvidnet_apply(params, x, enc1_strips: int = 0):
+def colorvidnet_apply(params, x, enc1_strips: int = 0,
+                      fused_down: bool | None = None):
     """x: [B, H, W, 7] -> ab: [B, H, W, 2] in [-128, 128].
 
     enc1_strips > 0 runs the stage-1 conv chain height-strip-batched
     (batch-1 inputs only; exact — see _enc1_strips).
+    fused_down folds each *_ss strided downsample into the following
+    3x3 conv (see _down_into; exact up to fp association). Default:
+    on for TPU, off elsewhere — the decimated-plane materialization it
+    removes is a TPU sublane-layout cost (probes/ab_enc1_in.py).
     """
+    if fused_down is None:
+        fused_down = jax.default_backend() == "tpu"
     if enc1_strips and x.shape[0] == 1:
         c1 = _enc1_strips(params, x, enc1_strips)
     else:
         c1 = _enc1_direct(params, x)
     n1 = instance_norm(c1)
-    x2 = _down(params, "conv1_2norm_ss", n1)
 
-    c2 = _c(params, "conv2_1", x2)
+    if fused_down:
+        c2 = _down_into(params, "conv1_2norm_ss", "conv2_1", n1)
+    else:
+        c2 = _c(params, "conv2_1", _down(params, "conv1_2norm_ss", n1))
     c2 = jax.nn.relu(_c(params, "conv2_2", c2, relu=False))
     n2 = instance_norm(c2)
-    x3 = _down(params, "conv2_2norm_ss", n2)
 
-    c3 = _c(params, "conv3_1", x3)
+    if fused_down:
+        c3 = _down_into(params, "conv2_2norm_ss", "conv3_1", n2)
+    else:
+        c3 = _c(params, "conv3_1", _down(params, "conv2_2norm_ss", n2))
     c3 = _c(params, "conv3_2", c3)
     c3 = _c(params, "conv3_3", c3)
     n3 = instance_norm(c3)
-    x4 = _down(params, "conv3_3norm_ss", n3)
 
-    c4 = _c(params, "conv4_1", x4)
+    if fused_down:
+        c4 = _down_into(params, "conv3_3norm_ss", "conv4_1", n3)
+    else:
+        c4 = _c(params, "conv4_1", _down(params, "conv3_3norm_ss", n3))
     c4 = _c(params, "conv4_2", c4)
     c4 = _c(params, "conv4_3", c4)
     h = instance_norm(c4)

@@ -178,6 +178,30 @@ def test_colorvidnet_enc1_strips_matches_direct(rng):
     )
 
 
+def test_colorvidnet_fused_down_matches_direct(rng):
+    """Folding each *_ss strided downsample into the following 3x3 conv
+    (stride-2 rhs-dilation-2 on the full plane, per-channel scale folded
+    into the weights — models/colorvidnet.py::_down_into) must reproduce
+    the reference boundary `conv(w_ss * n[::2, ::2])` (reference
+    ColorVidNet.py:96-113) up to fp association of the weight scale.
+    Covers odd decimated extents (H/2, W/2 not multiples of 8) and
+    batch > 1 (the fold is batch-agnostic, unlike enc1_strips)."""
+    import devc_tpu.models.colorvidnet as cvn
+
+    params = cvn.colorvidnet_init(jax.random.PRNGKey(7))
+    for b, h, w in [(1, 32, 32), (1, 24, 40), (2, 48, 64)]:
+        x = jnp.asarray(rng.randn(b, h, w, 7).astype(np.float32) * 20)
+        y_fused = jax.jit(
+            lambda p, x: cvn.colorvidnet_apply(p, x, fused_down=True)
+        )(params, x)
+        y_direct = jax.jit(
+            lambda p, x: cvn.colorvidnet_apply(p, x, fused_down=False)
+        )(params, x)
+        np.testing.assert_allclose(
+            np.asarray(y_fused), np.asarray(y_direct), atol=1e-3, rtol=1e-5
+        )
+
+
 def test_frame_colorization_parity(rng):
     """End-to-end single-frame parity: VGG -> WarpNet -> ColorVidNet."""
     nl = reference_module("models.NonlocalNet")
